@@ -1,0 +1,261 @@
+"""Typed configuration for the whole framework.
+
+One dataclass per subsystem, replacing the reference's two parallel argparse systems
+(reference: src/options.py:15-150 and data_process/config.py:10-149) and its
+string-valued booleans (``use_fact="yes"``). Knob names follow the reference where
+the knob has the same meaning (``n_context``, ``text_maxlength``, ``stream``,
+``attention_score_style``, ...) so configs translate mechanically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _ConfigBase:
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Model architecture configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class T5Config(_ConfigBase):
+    """T5 architecture hyperparameters (HF-compatible naming for weight import).
+
+    Defaults are t5-base. Size presets via :func:`t5_config_for_size`.
+    """
+
+    vocab_size: int = 32128
+    d_model: int = 768
+    d_kv: int = 64
+    d_ff: int = 3072
+    num_layers: int = 12
+    num_decoder_layers: int = 12
+    num_heads: int = 12
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "relu"  # t5 v1.0 uses relu; v1.1 uses gated-gelu
+    tie_word_embeddings: bool = True
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+
+    @property
+    def d_inner(self) -> int:
+        return self.num_heads * self.d_kv
+
+    @property
+    def is_gated_act(self) -> bool:
+        return self.feed_forward_proj.startswith("gated-")
+
+
+_T5_SIZES = {
+    # name: (d_model, d_kv, d_ff, layers, heads)
+    "tiny": (64, 16, 128, 2, 4),  # test-only size
+    "small": (512, 64, 2048, 6, 8),
+    "base": (768, 64, 3072, 12, 12),
+    "large": (1024, 64, 4096, 24, 16),
+    "3b": (1024, 128, 16384, 24, 32),
+}
+
+
+def t5_config_for_size(size: str, **overrides) -> T5Config:
+    """Preset matching HF ``t5-{size}`` configs (reference loads ``t5-``+model_size,
+    train_reader.py:226-231)."""
+    d_model, d_kv, d_ff, layers, heads = _T5_SIZES[size]
+    cfg = T5Config(
+        d_model=d_model,
+        d_kv=d_kv,
+        d_ff=d_ff,
+        num_layers=layers,
+        num_decoder_layers=layers,
+        num_heads=heads,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+@dataclass(frozen=True)
+class BertConfig(_ConfigBase):
+    """BERT architecture hyperparameters (bert-base-uncased defaults)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+
+
+def bert_config_tiny() -> BertConfig:
+    return BertConfig(
+        vocab_size=1000,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=128,
+    )
+
+
+@dataclass(frozen=True)
+class RetrieverConfig(_ConfigBase):
+    """Bi-encoder retriever head config (reference: src/model.py:352-372)."""
+
+    bert: BertConfig = field(default_factory=BertConfig)
+    indexing_dimension: int = 256
+    apply_question_mask: bool = True
+    apply_passage_mask: bool = True
+    extract_cls: bool = False
+    passage_maxlength: int = 130
+    question_maxlength: int = 130
+    projection: bool = True
+    asymmetric: bool = False  # reference `asymmetric_retri == "yes"` (src/model.py:395)
+
+
+# ---------------------------------------------------------------------------
+# Data / batching configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ReaderDataConfig(_ConfigBase):
+    """Reader example construction + batching (reference: src/data.py:14-148).
+
+    stream=1 packs [question + caption + fact] into one passage; stream=2 builds two
+    passages [question+caption, fact] (reference src/data.py:130-141).
+    """
+
+    n_context: int = 10
+    text_maxlength: int = 130
+    answer_maxlength: int = 20
+    stream: int = 2
+    use_fact: bool = True
+    fact_use_way: str = "concate"  # "concate" | "separate"
+    question_prefix: str = "question:"
+    caption_prefix: str = "context:"
+    fact_prefix: str = "fact:"
+
+    @property
+    def n_passages(self) -> int:
+        if not self.use_fact:
+            return 1
+        if self.fact_use_way == "concate":
+            return self.stream
+        return 1 + self.n_context
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / training configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OptimConfig(_ConfigBase):
+    """Optimizer + schedule (reference: src/util.py:149-245, src/options.py:20-48)."""
+
+    optim: str = "adamw"  # "adam" | "adamw"
+    lr: float = 1e-4
+    weight_decay: float = 0.1
+    clip: float = 1.0
+    scheduler: str = "linear"  # "fixed" | "linear"
+    warmup_steps: int = 1000
+    total_steps: int = 1000
+    scheduler_steps: Optional[int] = None
+    min_ratio: float = 0.0
+    fixed_lr: bool = False
+    accumulation_steps: int = 1
+    # Layerwise LR decay over BERT encoder layers (reference util.py:185-227).
+    layerwise_decay: Optional[float] = None
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-6
+
+
+@dataclass(frozen=True)
+class MeshConfig(_ConfigBase):
+    """Device mesh layout. data=DP axis, model=TP axis (replaces the reference's
+    NCCL process-group setup, src/slurm.py:44-160)."""
+
+    data: int = -1  # -1: all devices on the data axis
+    model: int = 1
+    batch_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclass(frozen=True)
+class ReaderTrainConfig(_ConfigBase):
+    """Reader training loop (reference: train_reader.py:37-120, run_okvqa_train.sh)."""
+
+    model_size: str = "base"
+    per_device_batch_size: int = 8
+    eval_batch_size: int = 8
+    epochs: int = 20
+    early_stop: int = 3
+    seed: int = 0
+    eval_max_length: int = 50
+    warmup_fraction: float = 0.06  # reference train_reader.py:261
+    use_remat: bool = True  # = --use_checkpoint activation checkpointing
+    dtype: str = "bfloat16"
+    data: ReaderDataConfig = field(default_factory=ReaderDataConfig)
+    optim: OptimConfig = field(default_factory=lambda: OptimConfig(lr=4e-5))
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    checkpoint_dir: str = "./checkpoint"
+    name: str = "experiment"
+
+
+@dataclass(frozen=True)
+class RetrieverTrainConfig(_ConfigBase):
+    """Retriever distillation loop (reference: train_retriever.py:37-154)."""
+
+    per_device_batch_size: int = 8
+    eval_batch_size: int = 8
+    epochs: int = 10
+    early_stop: int = 3
+    seed: int = 0
+    n_context: int = 10
+    dtype: str = "bfloat16"
+    retriever: RetrieverConfig = field(default_factory=RetrieverConfig)
+    optim: OptimConfig = field(default_factory=lambda: OptimConfig(lr=1e-4))
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    checkpoint_dir: str = "./checkpoint"
+    name: str = "retriever"
+
+
+@dataclass(frozen=True)
+class AttentionSignalConfig(_ConfigBase):
+    """Cross-attention score aggregation (reference: src/model.py:100-204,
+    test_reader.py:107-122)."""
+
+    attention_score_style: str = "mean"  # "mean" | "max" | "21mean"
+    use_last_half_layer_attention: bool = False
+    ans_attention: bool = False
+    stream: int = 2
+    n_context: int = 10
+    pad_score: float = -5.0  # filler for missing facts (src/model.py:194)

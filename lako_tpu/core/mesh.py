@@ -1,0 +1,57 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's NCCL process-group plumbing
+(reference: src/slurm.py:44-160) and rank-0 reductions (src/util.py:248-273):
+instead of explicit collectives, train steps are jitted with `NamedSharding`
+constraints over a (data, model) mesh and XLA inserts ICI/DCN collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lako_tpu.core.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh over all (or the given) devices.
+
+    ``cfg.data == -1`` means "everything not taken by the model axis".
+    """
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(1, cfg.model)
+    if n % model != 0:
+        raise ValueError(f"{n} devices not divisible by model axis {model}")
+    data = cfg.data if cfg.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (cfg.batch_axis, cfg.model_axis))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of per-host batch arrays, sharded on dim 0."""
+    def _put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def process_is_main() -> bool:
+    return jax.process_index() == 0
