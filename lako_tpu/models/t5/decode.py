@@ -1,0 +1,120 @@
+"""Jitted autoregressive decoding for the FiD reader.
+
+Replaces HF ``generate`` (reference: src/model.py:54-60, test_reader.py:65-69) with
+a fixed-shape lax.scan loop: self-attention KV caches are preallocated at
+``max_length``, encoder cross K/V are projected once, and every step is a
+static-shape MXU matmul — no recompiles, no host round-trips.
+
+Cross-attention distillation signal: like the reference (which stores only the
+*first* decode step's scores — ``if self.score_storage is None``,
+src/model.py:327-329), step 0 runs outside the scan with
+``collect_cross_logits=True`` and returns (B, layers, heads, N·L) pre-softmax
+logits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lako_tpu.models.t5.model import FiDT5
+
+Array = jax.Array
+
+
+def _embed_tokens(mdl: FiDT5, tokens: Array) -> Array:
+    return mdl.t5.shared(tokens)
+
+
+def _logits(mdl: FiDT5, hidden: Array) -> Array:
+    return mdl.t5.logits_from_hidden(hidden)
+
+
+def _encode(mdl: FiDT5, ids, mask):
+    return mdl.encode_passages(ids, mask)
+
+
+def _init_cache(mdl: FiDT5, batch, max_len, enc):
+    return mdl.t5.decoder.init_cache(batch, max_len, enc)
+
+
+def _decode_step(mdl: FiDT5, embeds, enc_mask, self_caches, cross_kvs, step,
+                 max_len, collect):
+    return mdl.t5.decoder.decode_step(
+        embeds, enc_mask, self_caches, cross_kvs, step, max_len,
+        collect_cross_logits=collect,
+    )
+
+
+def greedy_generate(
+    model: FiDT5,
+    params,
+    input_ids: Array,   # (B, N, L)
+    mask: Array,        # (B, N, L) bool
+    max_length: int = 50,
+    collect_cross_scores: bool = False,
+) -> Tuple[Array, Optional[Array]]:
+    """Greedy decode. Returns (tokens (B, max_length-1), first-step cross-attention
+    logits (B, layers, heads, N·L) or None).
+
+    ``max_length`` counts the decoder-start token like HF generate, so up to
+    ``max_length - 1`` tokens are produced.
+    """
+    cfg = model.config
+    B = input_ids.shape[0]
+    steps = max_length - 1
+    variables = {"params": params}
+
+    enc, enc_mask = model.apply(variables, input_ids, mask, method=_encode)
+    self_caches, cross_kvs = model.apply(variables, B, steps, enc, method=_init_cache)
+
+    def one_step(tokens, caches, step, collect):
+        embeds = model.apply(variables, tokens[:, None], method=_embed_tokens)
+        hidden, xl, new_caches = model.apply(
+            variables, embeds, enc_mask, caches, cross_kvs, step, steps, collect,
+            method=_decode_step,
+        )
+        logits = model.apply(variables, hidden[:, 0], method=_logits)
+        return logits, xl, new_caches
+
+    start = jnp.full((B,), cfg.decoder_start_token_id, dtype=jnp.int32)
+
+    # Step 0 outside the scan: capture cross-attention logits if requested.
+    logits0, xl0, caches = one_step(start, self_caches, jnp.int32(0), collect_cross_scores)
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    done0 = tok0 == cfg.eos_token_id
+
+    def scan_body(carry, step):
+        prev_tok, done, caches = carry
+        logits, _, new_caches = one_step(prev_tok, caches, step, False)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(done, cfg.pad_token_id, tok)
+        new_done = done | (tok == cfg.eos_token_id)
+        return (tok, new_done, new_caches), tok
+
+    if steps > 1:
+        (_, _, _), rest = jax.lax.scan(
+            scan_body, (tok0, done0, caches), jnp.arange(1, steps, dtype=jnp.int32)
+        )
+        tokens = jnp.concatenate([tok0[:, None], rest.swapaxes(0, 1)], axis=1)
+    else:
+        tokens = tok0[:, None]
+    return tokens, xl0
+
+
+def make_generate_fn(
+    model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False
+) -> Callable:
+    """Jit-compiled (params, input_ids, mask) → (tokens, cross_logits|None)."""
+
+    @jax.jit
+    def fn(params, input_ids, mask):
+        return greedy_generate(
+            model, params, input_ids, mask,
+            max_length=max_length, collect_cross_scores=collect_cross_scores,
+        )
+
+    return fn
