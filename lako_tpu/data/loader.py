@@ -1,0 +1,73 @@
+"""Data loading and host-sharded batching.
+
+``load_reader_data`` mirrors reference src/data.py:151-175 (JSON/JSONL, modulo
+sharding by rank, default fact scores) — but here the sharding is actually used:
+each JAX process loads its ``k % process_count == process_index`` slice
+(completing what the reference wired but never called, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def load_reader_data(
+    data_path: str,
+    global_rank: int = -1,
+    world_size: int = -1,
+    maxload: int = -1,
+) -> List[dict]:
+    path = Path(data_path)
+    if path.suffix == ".jsonl":
+        rows = [json.loads(line) for line in path.read_text().splitlines() if line]
+    else:
+        rows = json.loads(path.read_text())
+    examples = []
+    for k, example in enumerate(rows):
+        if maxload > 0 and len(examples) >= maxload:
+            break
+        if global_rank > -1 and k % world_size != global_rank:
+            continue
+        if "id" not in example:
+            example["id"] = k
+        for c in example.get("fact", []):
+            if "score" not in c:
+                # parity quirk: reference assigns 1/(k+1) by *example* index
+                # (src/data.py:167-169)
+                c["score"] = 1.0 / (k + 1)
+        examples.append(example)
+    return examples
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    collate: Callable,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+    pad_final: bool = True,
+) -> Iterator:
+    """Yield collated fixed-shape batches.
+
+    Train: shuffle + drop_last (reference RandomSampler path, train_reader.py:40-48).
+    Eval: sequential; the final partial batch is padded to full size with
+    ``valid=False`` rows so the jitted step never recompiles.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size:
+            if drop_last:
+                return
+            if not pad_final:
+                yield collate([dataset[int(i)] for i in idx])
+                continue
+        yield collate([dataset[int(i)] for i in idx], pad_to=batch_size)

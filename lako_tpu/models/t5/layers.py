@@ -219,7 +219,8 @@ class T5EncoderBlock(nn.Module):
         self.mlp = T5MLP(cfg, self.dtype, name="mlp")
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
 
-    def __call__(self, x: Array, bias: Array, *, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, bias: Array, deterministic: bool = True) -> Array:
+        # NOTE: `deterministic` is positional so nn.remat can mark it static.
         cfg = self.config
         h, _, _ = self.self_attn(self.ln_attn(x), bias=bias, deterministic=deterministic)
         if not deterministic and cfg.dropout_rate > 0.0:

@@ -42,12 +42,14 @@ class T5Encoder(nn.Module):
                                            name="relpos")
         block_cls = T5EncoderBlock
         if self.use_remat:
-            block_cls = nn.remat(T5EncoderBlock, static_argnums=(), prevent_cse=False)
+            # static_argnums counts self as 0: (x=1, bias=2, deterministic=3)
+            block_cls = nn.remat(T5EncoderBlock, static_argnums=(3,), prevent_cse=False)
         self.blocks = [
             block_cls(cfg, self.dtype, name=f"block_{i}") for i in range(cfg.num_layers)
         ]
         self.final_ln = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, self.dtype,
                                 name="final_ln")
+        self.hidden_dropout = nn.Dropout(rate=cfg.dropout_rate)
 
     def __call__(self, embeds: Array, mask: Array, *, deterministic: bool = True) -> Array:
         """embeds: (B, L, H) token embeddings; mask: (B, L) bool."""
@@ -56,12 +58,12 @@ class T5Encoder(nn.Module):
         bias = self.relpos(L, L) + mask_to_bias(mask)
         x = embeds
         if not deterministic and cfg.dropout_rate > 0.0:
-            x = nn.Dropout(rate=cfg.dropout_rate, deterministic=False)(x)
+            x = self.hidden_dropout(x, deterministic=False)
         for block in self.blocks:
-            x = block(x, bias, deterministic=deterministic)
+            x = block(x, bias, deterministic)
         x = self.final_ln(x)
         if not deterministic and cfg.dropout_rate > 0.0:
-            x = nn.Dropout(rate=cfg.dropout_rate, deterministic=False)(x)
+            x = self.hidden_dropout(x, deterministic=False)
         return x
 
 
@@ -80,6 +82,7 @@ class T5Decoder(nn.Module):
         ]
         self.final_ln = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, self.dtype,
                                 name="final_ln")
+        self.hidden_dropout = nn.Dropout(rate=cfg.dropout_rate)
 
     def __call__(
         self,
@@ -104,7 +107,7 @@ class T5Decoder(nn.Module):
         cross_bias = mask_to_bias(enc_mask)
         x = embeds
         if not deterministic and cfg.dropout_rate > 0.0:
-            x = nn.Dropout(rate=cfg.dropout_rate, deterministic=False)(x)
+            x = self.hidden_dropout(x, deterministic=False)
         cross_logits = []
         for block in self.blocks:
             x, xl, _ = block(x, enc, self_bias, cross_bias, deterministic=deterministic)
@@ -112,7 +115,7 @@ class T5Decoder(nn.Module):
                 cross_logits.append(xl)
         x = self.final_ln(x)
         if not deterministic and cfg.dropout_rate > 0.0:
-            x = nn.Dropout(rate=cfg.dropout_rate, deterministic=False)(x)
+            x = self.hidden_dropout(x, deterministic=False)
         stacked = jnp.stack(cross_logits, axis=1) if collect_cross_logits else None
         return x, stacked
 

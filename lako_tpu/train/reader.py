@@ -1,0 +1,187 @@
+"""Reader training and evaluation loops.
+
+Behavioral model: reference train_reader.py:37-169 — epoch loop with grad clip +
+schedule-per-step, per-epoch greedy-decode evaluation scored by weighted EM,
+best-dev checkpointing, early stopping on patience. TPU execution model: one
+jitted SPMD train step (batch sharded over the mesh ``data`` axis, params
+replicated), one jitted fixed-shape generate fn — no host↔device chatter inside
+the epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lako_tpu.core.checkpoint import save_checkpoint
+from lako_tpu.core.config import ReaderTrainConfig, t5_config_for_size
+from lako_tpu.core.logging import get_logger
+from lako_tpu.core.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from lako_tpu.data import ReaderCollator, ReaderDataset, batch_iterator
+from lako_tpu.models.t5 import FiDT5
+from lako_tpu.models.t5.decode import make_generate_fn
+from lako_tpu.text.metrics import ems
+from lako_tpu.train.optim import make_optimizer
+from lako_tpu.train.state import TrainState
+
+
+def make_reader_train_step(model: FiDT5) -> Callable:
+    """Jitted (state, ids, mask, labels, rng) → (state, loss)."""
+
+    @jax.jit
+    def train_step(state: TrainState, ids, mask, labels, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            loss, _, _ = model.apply(
+                {"params": params}, ids, mask, labels,
+                deterministic=False, rngs={"dropout": rng},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads)
+        return state, loss
+
+    return train_step
+
+
+def evaluate_reader(
+    generate_fn: Callable,
+    params,
+    dataset: ReaderDataset,
+    collator: ReaderCollator,
+    tokenizer,
+    batch_size: int,
+    mesh=None,
+) -> Dict[str, Any]:
+    """Greedy decode + weighted EM over a dataset (reference evaluate,
+    train_reader.py:123-169). Returns per-example answers too, for the
+    write_results path (test_reader.py:92-105)."""
+    scores: List[float] = []
+    answers: List[str] = []
+    indices: List[int] = []
+    for batch in batch_iterator(dataset, batch_size, collator, shuffle=False):
+        ids, mask = jnp.asarray(batch.passage_ids), jnp.asarray(batch.passage_mask)
+        if mesh is not None:
+            ids = jax.device_put(ids, batch_sharding(mesh, ids.ndim))
+            mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+        tokens, _ = generate_fn(params, ids, mask)
+        decoded = tokenizer.batch_decode(np.asarray(tokens))
+        for k, ans in enumerate(decoded):
+            if not batch.valid[k]:
+                continue
+            gold = dataset.get_example(int(batch.index[k]))["answer"]
+            scores.append(ems(ans, gold))
+            answers.append(ans)
+            indices.append(int(batch.index[k]))
+    return {
+        "em": float(np.mean(scores)) if scores else 0.0,
+        "total": len(scores),
+        "answers": answers,
+        "indices": indices,
+    }
+
+
+@dataclass
+class ReaderTrainResult:
+    best_dev_em: float
+    final_step: int
+    epochs_run: int
+    history: List[Dict[str, float]]
+    state: TrainState
+
+
+def train_reader(
+    cfg: ReaderTrainConfig,
+    train_examples: Sequence[dict],
+    eval_examples: Sequence[dict],
+    tokenizer,
+    init_params: Optional[Any] = None,
+    t5_config=None,
+    mesh=None,
+    save_checkpoints: bool = True,
+) -> ReaderTrainResult:
+    logger = get_logger()
+    mesh = mesh or make_mesh(cfg.mesh)
+    t5_cfg = t5_config or t5_config_for_size(cfg.model_size, vocab_size=tokenizer.vocab_size)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = FiDT5(t5_cfg, dtype=dtype, use_remat=cfg.use_remat)
+
+    train_ds = ReaderDataset(train_examples, cfg.data, seed=cfg.seed)
+    eval_ds = ReaderDataset(eval_examples, cfg.data, seed=cfg.seed)
+    collator = ReaderCollator(cfg.data, tokenizer)
+
+    global_batch = cfg.per_device_batch_size * mesh.shape[cfg.mesh.batch_axis]
+    steps_per_epoch = len(train_ds) // global_batch
+    total_steps = max(1, steps_per_epoch * cfg.epochs)
+    warmup = int(total_steps * cfg.warmup_fraction)  # reference train_reader.py:261
+    optim_cfg = cfg.optim.replace(
+        warmup_steps=warmup, total_steps=total_steps, scheduler="linear"
+    )
+    tx = make_optimizer(optim_cfg)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    if init_params is None:
+        B, N, L = 2, cfg.data.n_passages, cfg.data.text_maxlength
+        init_rng, rng = jax.random.split(rng)
+        variables = model.init(
+            init_rng,
+            jnp.zeros((B, N, L), jnp.int32),
+            jnp.ones((B, N, L), bool),
+            jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
+        )
+        init_params = variables["params"]
+    init_params = jax.device_put(init_params, replicated(mesh))
+    state = TrainState.create(init_params, tx)
+
+    train_step = make_reader_train_step(model)
+    generate_fn = make_generate_fn(model, max_length=cfg.eval_max_length)
+
+    best_dev_em, patience, step = 0.0, 0, 0
+    history: List[Dict[str, float]] = []
+    ckpt_dir = f"{cfg.checkpoint_dir}/{cfg.name}"
+    epoch = 0
+    for epoch in range(1, cfg.epochs + 1):
+        t0 = time.time()
+        losses = []
+        for batch in batch_iterator(
+            train_ds, global_batch, collator,
+            shuffle=True, seed=cfg.seed + epoch, drop_last=True,
+        ):
+            sharded = shard_batch(mesh, {
+                "ids": batch.passage_ids, "mask": batch.passage_mask,
+                "labels": batch.labels,
+            })
+            state, loss = train_step(state, sharded["ids"], sharded["mask"],
+                                     sharded["labels"], rng)
+            losses.append(loss)
+            step += 1
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+        patience += 1
+        ev = evaluate_reader(generate_fn, state.params, eval_ds, collator,
+                             tokenizer, cfg.eval_batch_size, mesh)
+        dev_em = ev["em"]
+        history.append({"epoch": epoch, "loss": train_loss, "em": dev_em,
+                        "seconds": time.time() - t0})
+        logger.info(
+            "epoch %d | step %d | train loss: %.3f | evaluation: %.2fEM | %.1fs",
+            epoch, step, train_loss, 100 * dev_em, time.time() - t0,
+        )
+        if dev_em > best_dev_em:
+            patience = 0
+            best_dev_em = dev_em
+            if save_checkpoints:
+                save_checkpoint(ckpt_dir, "best_dev", state.params, state.opt_state,
+                                step, best_dev_em)
+        if patience > cfg.early_stop:
+            logger.info("early stop in epoch %d", epoch)
+            break
+
+    return ReaderTrainResult(best_dev_em, step, epoch, history, state)

@@ -1,0 +1,87 @@
+"""End-to-end reader training smoke test on the synthetic fixture: loss must fall
+and EM must reach 1.0 (the closed world is learnable by a tiny T5). Runs the full
+SPMD path on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lako_tpu.core.config import (
+    MeshConfig,
+    OptimConfig,
+    ReaderDataConfig,
+    ReaderTrainConfig,
+    T5Config,
+)
+from lako_tpu.train.optim import make_optimizer, warmup_linear_schedule
+from lako_tpu.train.reader import train_reader
+from tests.fixtures import make_examples, make_tokenizer
+
+
+def test_warmup_linear_schedule():
+    sched = warmup_linear_schedule(1.0, warmup_steps=10, scheduler_steps=110)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(5)) - 0.5) < 1e-6
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert abs(float(sched(60)) - 0.5) < 1e-6
+    assert float(sched(110)) == 0.0
+    assert float(sched(200)) == 0.0
+
+
+def test_optimizer_decay_mask():
+    import jax.numpy as jnp
+
+    params = {
+        "block_0": {"mlp": {"wi": {"kernel": jnp.ones((4, 4))}}},
+        "ln_attn": {"weight": jnp.ones((4,))},
+    }
+    tx = make_optimizer(OptimConfig(optim="adamw", weight_decay=0.5, lr=0.0,
+                                    scheduler="fixed"))
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # lr=0 → update magnitude comes only from decay branch; with scale_by_lr(0)
+    # everything is zero, so instead check mask indirectly via nonzero lr
+    tx2 = make_optimizer(OptimConfig(optim="adamw", weight_decay=0.5, lr=1.0,
+                                     scheduler="fixed"))
+    state2 = tx2.init(params)
+    updates2, _ = tx2.update(grads, state2, params)
+    assert abs(float(updates2["block_0"]["mlp"]["wi"]["kernel"][0, 0])) > 0  # decayed
+    assert float(updates2["ln_attn"]["weight"][0]) == 0.0  # no decay on norm weight
+
+
+@pytest.mark.slow
+def test_train_reader_overfits_fixture(tmp_path):
+    tok = make_tokenizer()
+    train_examples = make_examples(64, n_facts=3, seed=0)
+    eval_examples = make_examples(16, n_facts=3, seed=100)
+
+    t5_cfg = T5Config(
+        vocab_size=tok.vocab_size, d_model=64, d_kv=16, d_ff=128,
+        num_layers=2, num_decoder_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, dropout_rate=0.0,
+    )
+    cfg = ReaderTrainConfig(
+        model_size="tiny",
+        per_device_batch_size=1,  # global 8 on 8 devices
+        eval_batch_size=16,
+        epochs=25,
+        early_stop=25,
+        eval_max_length=4,
+        use_remat=False,
+        dtype="float32",
+        data=ReaderDataConfig(n_context=3, text_maxlength=24, answer_maxlength=4,
+                              stream=2),
+        optim=OptimConfig(optim="adamw", lr=1e-2, weight_decay=0.0),
+        mesh=MeshConfig(),
+        checkpoint_dir=str(tmp_path),
+        name="smoke",
+    )
+    result = train_reader(cfg, train_examples, eval_examples, tok, t5_config=t5_cfg)
+    losses = [h["loss"] for h in result.history]
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert result.best_dev_em >= 0.9, (result.best_dev_em, result.history)
+    # checkpoint written with best/latest semantics
+    assert (tmp_path / "smoke" / "checkpoint" / "best_dev" / "params.msgpack").exists()
+    assert (tmp_path / "smoke" / "checkpoint" / "latest").exists()
