@@ -76,7 +76,7 @@ class RelativePositionBias(nn.Module):
         cfg = self.config
         emb = self.param(
             "rel_embedding",
-            nn.initializers.normal(stddev=1.0),
+            nn.initializers.normal(stddev=cfg.d_model ** -0.5),
             (cfg.relative_attention_num_buckets, cfg.num_heads),
             jnp.float32,
         )
@@ -93,10 +93,11 @@ class RelativePositionBias(nn.Module):
         return jnp.transpose(values, (2, 0, 1))[None].astype(self.dtype)  # (1, h, q, k)
 
 
-def _dense(features: int, dtype, name: str):
-    # T5 uses bias-free dense layers throughout.
+def _dense(features: int, dtype, name: str, init_std: float = 1.0):
+    # T5 uses bias-free dense layers with fan-scaled normal init (the HF
+    # _init_weights scheme); wrong init overflows bf16 activations at t5-large.
     return nn.Dense(features, use_bias=False, dtype=dtype, name=name,
-                    kernel_init=nn.initializers.normal(stddev=1.0))
+                    kernel_init=nn.initializers.normal(stddev=init_std))
 
 
 class T5Attention(nn.Module):
@@ -114,10 +115,11 @@ class T5Attention(nn.Module):
     def setup(self):
         cfg = self.config
         inner = cfg.num_heads * cfg.d_kv
-        self.q = _dense(inner, self.dtype, "q")
-        self.k = _dense(inner, self.dtype, "k")
-        self.v = _dense(inner, self.dtype, "v")
-        self.o = _dense(cfg.d_model, self.dtype, "o")
+        # init matches T5: q absorbs the absent 1/sqrt(d_kv) attention scaling
+        self.q = _dense(inner, self.dtype, "q", (cfg.d_model * cfg.d_kv) ** -0.5)
+        self.k = _dense(inner, self.dtype, "k", cfg.d_model ** -0.5)
+        self.v = _dense(inner, self.dtype, "v", cfg.d_model ** -0.5)
+        self.o = _dense(cfg.d_model, self.dtype, "o", inner ** -0.5)
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
 
     def split_heads(self, x: Array) -> Array:
@@ -187,12 +189,13 @@ class T5MLP(nn.Module):
 
     def setup(self):
         cfg = self.config
+        wi_std = cfg.d_model ** -0.5
         if cfg.is_gated_act:
-            self.wi_0 = _dense(cfg.d_ff, self.dtype, "wi_0")
-            self.wi_1 = _dense(cfg.d_ff, self.dtype, "wi_1")
+            self.wi_0 = _dense(cfg.d_ff, self.dtype, "wi_0", wi_std)
+            self.wi_1 = _dense(cfg.d_ff, self.dtype, "wi_1", wi_std)
         else:
-            self.wi = _dense(cfg.d_ff, self.dtype, "wi")
-        self.wo = _dense(cfg.d_model, self.dtype, "wo")
+            self.wi = _dense(cfg.d_ff, self.dtype, "wi", wi_std)
+        self.wo = _dense(cfg.d_model, self.dtype, "wo", cfg.d_ff ** -0.5)
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
 
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
