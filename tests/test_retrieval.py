@@ -1,0 +1,226 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lako_tpu.retrieval import (
+    BM25L,
+    BM25Okapi,
+    BM25Plus,
+    CandidateMiner,
+    DenseIndex,
+    hit_at_k,
+    triple_to_sentence,
+    verbalize_triples,
+)
+from lako_tpu.retrieval.candidates import build_caption_sentence
+from lako_tpu.retrieval.index import add_facts_to_examples
+from lako_tpu.retrieval.verbalize import corpus_sentences
+
+
+def _dense_bm25_okapi(corpus, query, k1=1.5, b=0.75, epsilon=0.25):
+    """Straight transcription of the rank_bm25 reference algorithm (dense scan)
+    as an independent oracle."""
+    import math
+    from collections import Counter
+
+    n = len(corpus)
+    doc_freqs = [Counter(d) for d in corpus]
+    doc_len = np.array([len(d) for d in corpus], dtype=float)
+    avgdl = doc_len.sum() / n
+    nd = Counter()
+    for f in doc_freqs:
+        nd.update(f.keys())
+    idf = {w: math.log(n - df + 0.5) - math.log(df + 0.5) for w, df in nd.items()}
+    avg_idf = sum(idf.values()) / len(idf)
+    for w, v in idf.items():
+        if v < 0:
+            idf[w] = epsilon * avg_idf
+    score = np.zeros(n)
+    for q in query:
+        q_freq = np.array([f.get(q, 0) for f in doc_freqs], dtype=float)
+        score += idf.get(q, 0) * q_freq * (k1 + 1) / (
+            q_freq + k1 * (1 - b + b * doc_len / avgdl)
+        )
+    return score
+
+
+CORPUS = [
+    "cat says meow".split(),
+    "dog says woof woof".split(),
+    "the quick brown fox".split(),
+    "cat and dog are friends".split(),
+    "a cat sat on the mat with another cat".split(),
+]
+
+
+class TestBM25:
+    def test_okapi_matches_dense_oracle(self):
+        bm = BM25Okapi(CORPUS)
+        for query in (["cat"], ["cat", "dog"], ["says", "the", "zebra"],
+                      ["woof", "woof", "cat"]):
+            np.testing.assert_allclose(
+                bm.get_scores(query), _dense_bm25_okapi(CORPUS, query), atol=1e-12
+            )
+
+    def test_okapi_fuzz(self):
+        rng = np.random.default_rng(0)
+        vocab = [f"w{i}" for i in range(30)]
+        for _ in range(20):
+            corpus = [list(rng.choice(vocab, size=rng.integers(2, 12)))
+                      for _ in range(rng.integers(3, 20))]
+            query = list(rng.choice(vocab, size=rng.integers(1, 6)))
+            bm = BM25Okapi(corpus)
+            np.testing.assert_allclose(
+                bm.get_scores(query), _dense_bm25_okapi(corpus, query), atol=1e-10
+            )
+
+    def test_top_n(self):
+        bm = BM25Okapi(CORPUS)
+        docs = ["d0", "d1", "d2", "d3", "d4"]
+        top = bm.get_top_n(["woof"], docs, n=2)
+        assert top[0] == "d1"
+
+    def test_variants_run(self):
+        for cls in (BM25L, BM25Plus):
+            bm = cls(CORPUS)
+            s = bm.get_scores(["cat", "dog"])
+            assert s.shape == (5,)
+            assert s.argmax() == 3  # doc with both terms
+
+
+class TestVerbalize:
+    TEMPLATES = {"is_a": "is a kind of", "locate": "is usually found in"}
+
+    def test_template(self):
+        assert triple_to_sentence(("cat", "is_a", "animal"), self.TEMPLATES) \
+            == "cat is a kind of animal"
+
+    def test_comparatives(self):
+        assert triple_to_sentence(("cat", "fast#f", "snail"), self.TEMPLATES) \
+            == "cat is more fast than snail"
+        assert triple_to_sentence(("snail", "fast#r", "cat"), self.TEMPLATES) \
+            == "snail is less fast than cat"
+
+    def test_fallback_raw_relation(self):
+        assert triple_to_sentence(("cat", "chases", "mouse"), self.TEMPLATES) \
+            == "cat chases mouse"
+
+    def test_corpus(self):
+        ft = verbalize_triples([("cat", "is_a", "animal")], self.TEMPLATES)
+        assert corpus_sentences(ft) == ["cat is a kind of animal."]
+
+
+class TestDenseIndex:
+    def test_exact_topk(self):
+        rng = np.random.default_rng(1)
+        emb = rng.normal(size=(100, 16)).astype(np.float32)
+        q = rng.normal(size=(7, 16)).astype(np.float32)
+        idx = DenseIndex(emb)
+        ids, scores = idx.search(q, k=5)
+        ref = q @ emb.T
+        for i in range(7):
+            expect = np.argsort(-ref[i])[:5]
+            np.testing.assert_array_equal(ids[i], expect)
+            np.testing.assert_allclose(scores[i], np.sort(ref[i])[::-1][:5], rtol=1e-5)
+
+    def test_chunked_matches_unchunked(self):
+        rng = np.random.default_rng(2)
+        emb = rng.normal(size=(1000, 8)).astype(np.float32)
+        q = rng.normal(size=(3, 8)).astype(np.float32)
+        small = DenseIndex(emb, chunk_size=64)
+        big = DenseIndex(emb, chunk_size=100000)
+        ids_s, sc_s = small.search(q, k=10)
+        ids_b, sc_b = big.search(q, k=10)
+        np.testing.assert_array_equal(ids_s, ids_b)
+        np.testing.assert_allclose(sc_s, sc_b, rtol=1e-5)
+
+    def test_rerank(self):
+        rng = np.random.default_rng(3)
+        emb = rng.normal(size=(50, 8)).astype(np.float32)
+        idx = DenseIndex(emb)
+        cand = np.array([[3, 10, 7], [20, 1, 4]])
+        q = rng.normal(size=(2, 8)).astype(np.float32)
+        ids, scores = idx.rerank(cand, q)
+        for b in range(2):
+            ref = {i: float(q[b] @ emb[i]) for i in cand[b]}
+            assert list(ids[b]) == sorted(ref, key=lambda i: -ref[i])
+            assert (np.diff(scores[b]) <= 1e-6).all()
+
+    def test_save_load(self, tmp_path):
+        rng = np.random.default_rng(4)
+        emb = rng.normal(size=(20, 8)).astype(np.float32)
+        idx = DenseIndex(emb)
+        idx.save(str(tmp_path / "ix"))
+        idx2 = DenseIndex.load(str(tmp_path / "ix"))
+        q = rng.normal(size=(2, 8)).astype(np.float32)
+        np.testing.assert_array_equal(idx.search(q, 3)[0], idx2.search(q, 3)[0])
+
+    def test_add_facts(self):
+        examples = [{"question": "q"}]
+        add_facts_to_examples(examples, np.array([[2, 0]]), np.array([[0.9, 0.1]]),
+                              {0: "s0.", 2: "s2."})
+        assert examples[0]["fact"] == [
+            {"sentence": "s2.", "id": 2, "score": 0.9},
+            {"sentence": "s0.", "id": 0, "score": 0.1},
+        ]
+
+
+class TestCandidates:
+    TEMPLATES = {"is_a": "is a kind of"}
+
+    def _miner(self):
+        triples = [
+            ("cat", "is_a", "animal"),
+            ("dog", "is_a", "animal"),
+            ("surfboard", "used_for", "surfing"),
+            ("wave", "part_of", "ocean"),
+        ]
+        return CandidateMiner(verbalize_triples(triples, self.TEMPLATES))
+
+    def test_candidates_via_inverted_index(self):
+        miner = self._miner()
+        ids = miner.candidate_ids({"cat", "ocean"})
+        assert ids == [0, 3]
+
+    def test_top_k_schema(self):
+        miner = self._miner()
+        facts = miner.top_k("what is the cat?", "a cat and a dog.", k=10)
+        assert facts
+        assert set(facts[0]) == {"sentence", "id"}
+        assert facts[0]["sentence"].endswith(".")
+        # cat facts must rank above unrelated ones
+        assert facts[0]["id"] in (0, 1)
+
+    def test_caption_sentence(self):
+        assert build_caption_sentence(["a cat", "a dog."]) == "a cat. a dog."
+        assert build_caption_sentence(["a cat."], ocr_text="STOP") == "STOP a cat."
+
+    def test_mine_dataset_schema(self):
+        miner = self._miner()
+        rows = [{"sent": "what animal is the cat?", "label": {"cat": 1.0},
+                 "img_id": "img0"},
+                {"sent": "no label", "label": {}, "img_id": "img1"}]
+        out = miner.mine_dataset(rows, {"img0": ["a cat."]})
+        assert len(out) == 1  # empty-label row skipped (vqa2_deal.py:74-79)
+        ex = out[0]
+        assert set(ex) == {"question", "target", "answer", "img_id", "caption", "fact"}
+        assert ex["target"] == "cat"
+
+
+class TestHitAtK:
+    def test_weighted_cuts(self):
+        data = [{
+            "answer": {"meow": 1.0},
+            "fact": [{"sentence": "dog says woof."},
+                     {"sentence": "cat says meow."},
+                     {"sentence": "irrelevant."}],
+        }]
+        inc, stem = hit_at_k(data, hitk=(1, 2, 3))
+        assert inc[1] == 0.0 and inc[2] == 1.0 and inc[3] == 1.0
+        assert stem[2] == 1.0
+
+    def test_short_fact_list(self):
+        data = [{"answer": {"meow": 1.0}, "fact": [{"sentence": "nothing."}]}]
+        inc, _ = hit_at_k(data, hitk=(1, 5))
+        assert inc[1] == 0.0 and inc[5] == 0.0

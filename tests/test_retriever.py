@@ -1,0 +1,151 @@
+"""BERT encoder parity vs HF torch, retriever scoring/KL-loss parity, and a
+retriever-distillation overfit smoke test."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from lako_tpu.core.config import BertConfig, RetrieverConfig, bert_config_tiny
+from lako_tpu.models.bert import BertEncoder, params_from_torch_bert
+from lako_tpu.models.bert.convert import bert_config_from_hf
+from lako_tpu.models.retriever import Retriever, kl_div_loss
+
+
+@pytest.fixture(scope="module")
+def torch_bert():
+    torch.manual_seed(0)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=200, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    model = transformers.BertModel(hf_cfg, add_pooling_layer=False)
+    model.eval()
+    return model, hf_cfg
+
+
+def test_bert_parity(torch_bert):
+    model, hf_cfg = torch_bert
+    cfg = bert_config_from_hf(hf_cfg)
+    params = params_from_torch_bert(model.state_dict(), cfg)
+    ours = BertEncoder(cfg)
+
+    rs = np.random.default_rng(0)
+    B, L = 3, 10
+    ids = rs.integers(0, 200, size=(B, L)).astype(np.int32)
+    mask = np.ones((B, L), dtype=np.int32)
+    mask[1, 7:] = 0
+
+    out = ours.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_kl_loss_matches_torch():
+    rs = np.random.default_rng(1)
+    score = rs.normal(size=(4, 6)).astype(np.float32)
+    gold_raw = rs.random(size=(4, 6)).astype(np.float32)
+    gold = gold_raw / gold_raw.sum(-1, keepdims=True)
+    gold[0, 3] = 0.0  # exercise the zero-target branch
+
+    ours = float(kl_div_loss(jnp.asarray(score), jnp.asarray(gold)))
+    ref = float(torch.nn.KLDivLoss()(
+        torch.log_softmax(torch.tensor(score), dim=-1), torch.tensor(gold)
+    ))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_retriever_shapes_and_scores():
+    cfg = RetrieverConfig(bert=bert_config_tiny(), indexing_dimension=32)
+    model = Retriever(cfg)
+    rs = np.random.default_rng(2)
+    B, n, Lq, Lp = 2, 4, 8, 6
+    q_ids = rs.integers(0, 1000, size=(B, Lq)).astype(np.int32)
+    q_mask = np.ones((B, Lq), dtype=bool)
+    p_ids = rs.integers(0, 1000, size=(B, n, Lp)).astype(np.int32)
+    p_mask = np.ones((B, n, Lp), dtype=bool)
+    gold = np.full((B, n), 1.0 / n, dtype=np.float32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(q_ids), jnp.asarray(q_mask),
+                        jnp.asarray(p_ids), jnp.asarray(p_mask))["params"]
+    q_emb, p_emb, score, loss = model.apply(
+        {"params": params}, jnp.asarray(q_ids), jnp.asarray(q_mask),
+        jnp.asarray(p_ids), jnp.asarray(p_mask), jnp.asarray(gold),
+    )
+    assert q_emb.shape == (B, 32)
+    assert p_emb.shape == (B * n, 32)
+    assert score.shape == (B, n)
+    assert np.isfinite(float(loss))
+
+
+def test_asymmetric_heads_differ():
+    cfg = RetrieverConfig(bert=bert_config_tiny(), indexing_dimension=32,
+                          projection=False, asymmetric=True)
+    model = Retriever(cfg)
+    rs = np.random.default_rng(3)
+    ids = rs.integers(0, 1000, size=(2, 8)).astype(np.int32)
+    mask = np.ones((2, 8), dtype=bool)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask),
+                        jnp.asarray(ids)[:, None, :], jnp.asarray(mask)[:, None, :])["params"]
+    q = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask), "q",
+                    method=Retriever.embed_text)
+    f = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask), "f",
+                    method=Retriever.embed_text)
+    assert np.abs(np.asarray(q) - np.asarray(f)).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_retriever_distillation_overfits():
+    """The retriever must learn to rank the gold passage first from KL loss."""
+    import optax
+
+    cfg = RetrieverConfig(bert=bert_config_tiny(), indexing_dimension=32)
+    model = Retriever(cfg)
+    rs = np.random.default_rng(4)
+    B, n, Lq, Lp = 8, 4, 8, 6
+    q_ids = rs.integers(3, 1000, size=(B, Lq)).astype(np.int32)
+    p_ids = rs.integers(3, 1000, size=(B, n, Lp)).astype(np.int32)
+    # gold passage j* = question tokens repeated (make it learnable)
+    gold_pos = rs.integers(0, n, size=B)
+    for b in range(B):
+        p_ids[b, gold_pos[b], :] = q_ids[b, :Lp]
+    gold = np.full((B, n), 0.02, dtype=np.float32)
+    gold[np.arange(B), gold_pos] = 0.94
+
+    q_mask = np.ones((B, Lq), dtype=bool)
+    p_mask = np.ones((B, n, Lp), dtype=bool)
+    args = tuple(jnp.asarray(x) for x in (q_ids, q_mask, p_ids, p_mask, gold))
+
+    params = model.init(jax.random.PRNGKey(0), *args[:4])["params"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            _, _, _, loss = model.apply({"params": p}, *args)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses[:3] + losses[-3:]
+
+    _, _, score, _ = model.apply({"params": params}, *args)
+    pred = np.asarray(jnp.argmax(score, axis=-1))
+    assert (pred == gold_pos).mean() >= 0.75, (pred, gold_pos)
