@@ -25,8 +25,20 @@ class _ConfigBase:
 
     @classmethod
     def from_dict(cls, d: dict):
-        names = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in names})
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+                v = f.type.from_dict(v)
+            elif isinstance(f.type, str) and isinstance(v, dict):
+                # postponed annotations: resolve from this module's globals
+                t = globals().get(f.type)
+                if t is not None and dataclasses.is_dataclass(t):
+                    v = t.from_dict(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

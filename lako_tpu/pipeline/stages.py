@@ -1,0 +1,307 @@
+"""Pipeline stages — the six file-handoff stages of the reference
+(run_okvqa_train_full.sh) as library functions over the SAME JSON schemas, so
+artifacts are drop-in compatible:
+
+reader example: {question, target, answer: {str: float}, img_id, caption,
+                 fact: [{sentence, id, score?}]}
+corpus row:     {sentence, id}
+
+Stages: train_reader_stage → eval_reader_stage (writes cross-attention scores)
+→ train_retriever_stage → embed_facts_stage → retrieve_stage / rerank_stage →
+eval_facts_stage; iterate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lako_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from lako_tpu.core.config import (
+    AttentionSignalConfig,
+    ReaderDataConfig,
+    ReaderTrainConfig,
+    RetrieverConfig,
+    RetrieverTrainConfig,
+    T5Config,
+    t5_config_for_size,
+)
+from lako_tpu.core.logging import get_logger
+from lako_tpu.data import ReaderCollator, ReaderDataset, batch_iterator
+from lako_tpu.models.retriever import Retriever
+from lako_tpu.models.t5 import FiDT5
+from lako_tpu.models.t5.decode import make_generate_fn
+from lako_tpu.retrieval.embed import embed_corpus, embed_questions
+from lako_tpu.retrieval.eval import hit_at_k
+from lako_tpu.retrieval.index import DenseIndex, add_facts_to_examples
+from lako_tpu.signal import (
+    aggregate_fact_scores,
+    apply_ans_attention_bonus,
+    attach_scores_to_examples,
+)
+from lako_tpu.text.metrics import ems, includ_ems, stem_ems
+from lako_tpu.train.reader import train_reader
+from lako_tpu.train.retriever import train_retriever
+
+
+def _load_json(path: str):
+    return json.loads(Path(path).read_text())
+
+
+def _save_json(obj, path: str):
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(obj))
+
+
+# ---------------------------------------------------------------------------
+# Reader stages
+# ---------------------------------------------------------------------------
+
+
+def train_reader_stage(
+    cfg: ReaderTrainConfig,
+    train_data: str,
+    eval_data: str,
+    tokenizer,
+    t5_config: Optional[T5Config] = None,
+    init_params_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    train_examples = _load_json(train_data)
+    eval_examples = _load_json(eval_data)
+    t5_cfg = t5_config or t5_config_for_size(cfg.model_size,
+                                             vocab_size=tokenizer.vocab_size)
+    init_params = None
+    if init_params_path:
+        model = FiDT5(t5_cfg)
+        B, N, L = 1, cfg.data.n_passages, cfg.data.text_maxlength
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((B, N, L), jnp.int32),
+                              jnp.ones((B, N, L), bool),
+                              jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
+                              )["params"]
+        init_params, _, _ = load_checkpoint(init_params_path, template)
+    result = train_reader(cfg, train_examples, eval_examples, tokenizer,
+                          init_params=init_params, t5_config=t5_cfg)
+    return {"best_dev_em": result.best_dev_em, "steps": result.final_step,
+            "history": result.history}
+
+
+def eval_reader_stage(
+    cfg: ReaderTrainConfig,
+    signal_cfg: AttentionSignalConfig,
+    eval_data: str,
+    model_path: str,
+    tokenizer,
+    t5_config: Optional[T5Config] = None,
+    write_results: Optional[str] = None,
+    write_crossattention_scores: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Evaluate EM/include/stem and optionally write the scored dataset for
+    retriever distillation (reference test_reader.py:31-213)."""
+    logger = get_logger()
+    examples = _load_json(eval_data)
+    t5_cfg = t5_config or t5_config_for_size(cfg.model_size,
+                                             vocab_size=tokenizer.vocab_size)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = FiDT5(t5_cfg, dtype=dtype)
+
+    B, N, L = 1, cfg.data.n_passages, cfg.data.text_maxlength
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((B, N, L), jnp.int32),
+                          jnp.ones((B, N, L), bool),
+                          jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
+                          )["params"]
+    params, _, _ = load_checkpoint(model_path, template)
+
+    collect = write_crossattention_scores is not None
+    generate_fn = make_generate_fn(model, max_length=cfg.eval_max_length,
+                                   collect_cross_scores=collect)
+
+    ds = ReaderDataset(examples, cfg.data, seed=cfg.seed)
+    collator = ReaderCollator(cfg.data, tokenizer)
+
+    em_scores, inc_scores, stem_scores = [], [], []
+    results_json: List[dict] = []
+    t0 = time.time()
+    n_decoded = 0
+    for batch in batch_iterator(ds, cfg.eval_batch_size, collator, shuffle=False):
+        tokens, xl = generate_fn(params, jnp.asarray(batch.passage_ids),
+                                 jnp.asarray(batch.passage_mask))
+        decoded = tokenizer.batch_decode(np.asarray(tokens))
+        if collect:
+            raw = aggregate_fact_scores(np.asarray(xl), batch.passage_mask,
+                                        batch.fact_spans, signal_cfg)
+            batch_examples = [ds.get_example(int(i)) for i in batch.index]
+            scores = apply_ans_attention_bonus(raw, batch_examples,
+                                               signal_cfg.n_context,
+                                               signal_cfg.ans_attention)
+        for k, ans in enumerate(decoded):
+            if not batch.valid[k]:
+                continue
+            example = ds.get_example(int(batch.index[k]))
+            gold = example["answer"]
+            em = ems(ans, gold)
+            inc = includ_ems(ans, gold)
+            st = stem_ems(ans, gold, dele_sw=True)
+            em_scores.append(em)
+            inc_scores.append(inc)
+            stem_scores.append(st)
+            n_decoded += 1
+            if write_results is not None:
+                results_json.append({
+                    "question": example["question"],
+                    "img_id": example["img_id"],
+                    "answer": ans,
+                    "target": example.get("target"),
+                    "real answers": gold,
+                    "fact": example.get("fact", [])[:50],
+                    "include_score": inc,
+                    "score": em,
+                    "stem_score": st,
+                })
+            if collect:
+                attach_scores_to_examples([example], scores[k:k + 1],
+                                          signal_cfg.n_context)
+
+    metrics = {
+        "em": float(np.mean(em_scores)) if em_scores else 0.0,
+        "include_em": float(np.mean(inc_scores)) if inc_scores else 0.0,
+        "stem_em": float(np.mean(stem_scores)) if stem_scores else 0.0,
+        "total": n_decoded,
+        "answers_per_sec": n_decoded / max(time.time() - t0, 1e-9),
+    }
+    logger.info("evaluation: %.2fEM | include: %.2fEM | stem: %.2fEM | total %d",
+                100 * metrics["em"], 100 * metrics["include_em"],
+                100 * metrics["stem_em"], n_decoded)
+    if write_results is not None:
+        _save_json(results_json, write_results)
+    if write_crossattention_scores is not None:
+        _save_json(examples, write_crossattention_scores)
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# Retriever stages
+# ---------------------------------------------------------------------------
+
+
+def train_retriever_stage(
+    cfg: RetrieverTrainConfig,
+    train_data: str,
+    eval_data: str,
+    tokenizer,
+) -> Dict[str, Any]:
+    result = train_retriever(cfg, _load_json(train_data), _load_json(eval_data),
+                             tokenizer)
+    return {"best_inversions": result.best_inversions, "steps": result.final_step,
+            "history": result.history}
+
+
+def _load_retriever(cfg: RetrieverConfig, model_path: str, dtype=jnp.float32):
+    model = Retriever(cfg, dtype=dtype)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), bool),
+        jnp.zeros((1, 1, 8), jnp.int32), jnp.ones((1, 1, 8), bool),
+    )["params"]
+    params, _, _ = load_checkpoint(model_path, template)
+    return model, params
+
+
+def embed_facts_stage(
+    retriever_cfg: RetrieverConfig,
+    model_path: str,
+    corpus_path: str,        # [{sentence, id}]
+    out_path: str,
+    tokenizer,
+    batch_size: int = 512,
+    maxlength: int = 100,
+) -> Dict[str, Any]:
+    """Embed the whole KG corpus (reference generate_fact_embeddings.py:64-125);
+    output is a DenseIndex directory instead of a pickle."""
+    corpus = _load_json(corpus_path)
+    model, params = _load_retriever(retriever_cfg, model_path)
+    ids, emb = embed_corpus(model, params, corpus, tokenizer,
+                            batch_size=batch_size, maxlength=maxlength)
+    index = DenseIndex(emb, ids)
+    index.save(out_path)
+    return {"n_facts": len(ids), "dim": emb.shape[1], "index_path": out_path}
+
+
+def retrieve_stage(
+    retriever_cfg: RetrieverConfig,
+    model_path: str,
+    index_path: str,
+    corpus_path: str,
+    data_paths: Sequence[str],
+    out_paths: Sequence[str],
+    tokenizer,
+    n_docs: int = 500,
+) -> Dict[str, Any]:
+    """Full-corpus dense retrieval (reference fact_retrieval.py:124-211)."""
+    corpus = _load_json(corpus_path)
+    id_to_sentence = {int(r["id"]): r["sentence"] for r in corpus}
+    index = DenseIndex.load(index_path)
+    model, params = _load_retriever(retriever_cfg, model_path)
+    stats = {}
+    for data_path, out_path in zip(data_paths, out_paths):
+        examples = _load_json(data_path)
+        q_emb = embed_questions(model, params, examples, tokenizer)
+        ids, scores = index.search(q_emb, k=n_docs)
+        add_facts_to_examples(examples, ids, scores, id_to_sentence)
+        _save_json(examples, out_path)
+        stats[data_path] = len(examples)
+    return {"retrieved": stats, "n_docs": n_docs}
+
+
+def rerank_stage(
+    retriever_cfg: RetrieverConfig,
+    model_path: str,
+    index_path: str,
+    corpus_path: str,
+    data_paths: Sequence[str],
+    out_paths: Sequence[str],
+    tokenizer,
+) -> Dict[str, Any]:
+    """Small-range re-rank of each example's existing candidate facts
+    (reference fact_retrieval_small_range.py:64-186)."""
+    corpus = _load_json(corpus_path)
+    id_to_sentence = {int(r["id"]): r["sentence"] for r in corpus}
+    index = DenseIndex.load(index_path)
+    model, params = _load_retriever(retriever_cfg, model_path)
+    stats = {}
+    for data_path, out_path in zip(data_paths, out_paths):
+        examples = _load_json(data_path)
+        q_emb = embed_questions(model, params, examples, tokenizer)
+        # ragged candidate lists → process in groups of equal length
+        for i, ex in enumerate(examples):
+            cand = np.asarray([int(f["id"]) for f in ex["fact"]], dtype=np.int64)
+            if len(cand) == 0:
+                continue
+            ids, scores = index.rerank(cand[None], q_emb[i:i + 1])
+            ex["fact"] = [
+                {"sentence": id_to_sentence[int(fid)], "id": int(fid),
+                 "score": float(s)}
+                for fid, s in zip(ids[0], scores[0])
+            ]
+        _save_json(examples, out_path)
+        stats[data_path] = len(examples)
+    return {"reranked": stats}
+
+
+def eval_facts_stage(data_path: str, hitk=None) -> Dict[str, Any]:
+    """Retrieval hit@k (reference evaluate_retrieved_facts.py)."""
+    logger = get_logger()
+    data = _load_json(data_path)
+    kwargs = {"hitk": hitk} if hitk else {}
+    inc, stem = hit_at_k(data, **kwargs)
+    for k in sorted(inc):
+        logger.info("top %d facts hits %.2f | stem %.2f", k, 100 * inc[k],
+                    100 * stem[k])
+    return {"include": inc, "stem": stem}

@@ -1,0 +1,11 @@
+from lako_tpu.signal.aggregate import (
+    aggregate_fact_scores,
+    apply_ans_attention_bonus,
+    attach_scores_to_examples,
+)
+
+__all__ = [
+    "aggregate_fact_scores",
+    "apply_ans_attention_bonus",
+    "attach_scores_to_examples",
+]

@@ -1,0 +1,124 @@
+"""Decoder cross-attention → per-fact retrieval-supervision scores.
+
+Replaces the reference's monkey-patch + host token-walk pipeline
+(src/model.py:100-204, test_reader.py:107-122) with a collate-time-span-based
+aggregation over the first-decode-step cross-attention logits captured by
+:mod:`lako_tpu.models.t5.decode`.
+
+Semantics preserved exactly:
+- scores are pre-softmax logits from the FIRST decode step only (score_storage is
+  filled once, src/model.py:327-329);
+- masked key positions contribute 0 (masked_fill, src/model.py:161);
+- stream 2 splits (B, h, l, N·L) into passage/fact halves and uses the fact half
+  summed over layers×heads (src/model.py:164-167);
+- per-fact aggregation styles mean / max / 21mean (top-half mean)
+  (src/model.py:107-115), where a fact's token span includes its terminal period;
+- missing facts are padded with −5 (src/model.py:192-194);
+- the result is divided by layers×heads — the ORIGINAL layer count even when only
+  the last half of the layers is used (src/model.py:156-157,202-203, a quirk we
+  keep for parity);
+- optional answer-hit bonus + per-row softmax (test_reader.py:110-119), or plain
+  softmax otherwise (test_reader.py:76).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from lako_tpu.core.config import AttentionSignalConfig
+from lako_tpu.text.metrics import includ_ems, stem_ems
+
+
+def _style_aggregate(vals: np.ndarray, style: str) -> float:
+    if style == "mean":
+        return float(vals.mean())
+    if style == "max":
+        return float(vals.max())
+    if style == "21mean":
+        num = max(int((len(vals) + 1) / 2), 1)
+        top = np.sort(vals)[::-1][:num]
+        return float(top.mean())
+    raise ValueError(f"unknown attention_score_style {style}")
+
+
+def aggregate_fact_scores(
+    cross_logits: np.ndarray,   # (B, layers, heads, K) first-step logits
+    passage_mask: np.ndarray,   # (B, N, L) bool
+    fact_spans: np.ndarray,     # (B, n_context, 2) spans in the fact passage
+    cfg: AttentionSignalConfig,
+) -> np.ndarray:
+    """Returns (B, n_context) float scores (NOT yet softmaxed)."""
+    assert cfg.stream == 2, "fact aggregation requires stream-2 batches"
+    B, n_layers, n_heads, K = cross_logits.shape
+    _, N, L = passage_mask.shape
+    assert K == N * L, (K, N, L)
+
+    scores = np.asarray(cross_logits, dtype=np.float64).copy()
+    mask = passage_mask.reshape(B, 1, 1, K)
+    scores = np.where(mask, scores, 0.0)
+
+    used = scores.reshape(B, n_layers, n_heads, N, L)
+    if cfg.use_last_half_layer_attention:
+        used = used[:, n_layers // 2:, :, :, :]
+    # stream 2: fact passage is index 1; sum over layers and heads
+    fact_stream = used[:, :, :, 1, :].sum(axis=(1, 2))  # (B, L)
+
+    out = np.full((B, cfg.n_context), cfg.pad_score, dtype=np.float64)
+    for b in range(B):
+        for j in range(cfg.n_context):
+            s, e = int(fact_spans[b, j, 0]), int(fact_spans[b, j, 1])
+            if e <= s:
+                continue
+            out[b, j] = _style_aggregate(fact_stream[b, s:e], cfg.attention_score_style)
+    # parity quirk: normalize by the ORIGINAL layers×heads (src/model.py:202-203)
+    out = out / (n_layers * n_heads)
+    return out.astype(np.float32)
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def apply_ans_attention_bonus(
+    scores: np.ndarray,          # (B, n_context)
+    examples: Sequence[dict],    # reader-format, aligned with rows
+    n_context: int,
+    ans_attention: bool,
+) -> np.ndarray:
+    """Answer-hit bonus + softmax normalization (test_reader.py:73-76,110-119).
+
+    ans_attention=False: softmax over the whole row.
+    ans_attention=True: add max(include-EM, stem-EM) of each fact sentence vs the
+    gold answers, then softmax over the first range_num entries only.
+    """
+    out = np.asarray(scores, dtype=np.float32).copy()
+    if not ans_attention:
+        return _softmax(out)
+    for k, ex in enumerate(examples):
+        gold = ex["answer"]
+        range_num = min(n_context, len(ex["fact"]))
+        if range_num == 0:
+            continue
+        bonus = np.array([
+            max(includ_ems(f["sentence"], gold),
+                stem_ems(f["sentence"], gold, dele_sw=True))
+            for f in ex["fact"][:range_num]
+        ], dtype=np.float32)
+        out[k, :range_num] += bonus
+        out[k, :range_num] = _softmax(out[k, :range_num][None])[0]
+    return out
+
+
+def attach_scores_to_examples(
+    examples: Sequence[dict],
+    scores: np.ndarray,
+    n_context: int,
+) -> None:
+    """Write scores into example['fact'][j]['score'] (test_reader.py:121-122)."""
+    for k, ex in enumerate(examples):
+        for j in range(min(n_context, len(ex["fact"]))):
+            ex["fact"][j]["score"] = float(scores[k, j])

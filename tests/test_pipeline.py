@@ -1,0 +1,202 @@
+"""End-to-end pipeline test: every CLI stage over the synthetic fixture,
+exchanging reference-schema JSON artifacts."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lako_tpu.pipeline.cli import main as cli_main
+from tests.fixtures import ANIMALS, SOUNDS, corpus_sentences, make_examples
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("pipeline")
+
+    train = make_examples(48, n_facts=3, seed=0)
+    evald = make_examples(12, n_facts=3, seed=99)
+    (wd / "train.json").write_text(json.dumps(train))
+    (wd / "eval.json").write_text(json.dumps(evald))
+    corpus = [{"sentence": s, "id": i} for i, s in enumerate(corpus_sentences())]
+    (wd / "corpus.json").write_text(json.dumps(corpus))
+
+    t5_cfg = {
+        "vocab_size": 64, "d_model": 64, "d_kv": 16, "d_ff": 128,
+        "num_layers": 2, "num_decoder_layers": 2, "num_heads": 4,
+        "relative_attention_num_buckets": 8, "dropout_rate": 0.0,
+    }
+    reader_cfg = {
+        "checkpoint_dir": str(wd / "ckpt"), "name": "reader",
+        "per_device_batch_size": 1, "eval_batch_size": 8, "epochs": 14,
+        "early_stop": 14, "eval_max_length": 4, "use_remat": False,
+        "dtype": "float32",
+        "data": {"n_context": 3, "text_maxlength": 24, "answer_maxlength": 4,
+                 "stream": 2},
+        "optim": {"optim": "adamw", "lr": 1e-2, "weight_decay": 0.0},
+    }
+    retriever_cfg = {
+        "checkpoint_dir": str(wd / "ckpt"), "name": "retriever",
+        "per_device_batch_size": 1, "eval_batch_size": 8, "epochs": 2,
+        "early_stop": 2, "n_context": 3, "dtype": "float32",
+        "retriever": {
+            "bert": {"vocab_size": 200, "hidden_size": 32,
+                     "num_hidden_layers": 1, "num_attention_heads": 2,
+                     "intermediate_size": 64, "max_position_embeddings": 64},
+            "indexing_dimension": 16, "question_maxlength": 16,
+            "passage_maxlength": 12,
+        },
+        "optim": {"optim": "adamw", "lr": 1e-3, "weight_decay": 0.0},
+    }
+    (wd / "t5_cfg.json").write_text(json.dumps(t5_cfg))
+    (wd / "reader_cfg.json").write_text(json.dumps(reader_cfg))
+    (wd / "retriever_cfg.json").write_text(json.dumps(retriever_cfg))
+    return wd
+
+
+def test_build_tokenizers(workdir):
+    cli_main(["build-tokenizer", "--from-json", str(workdir / "train.json"),
+              str(workdir / "corpus.json"), "--out", str(workdir / "tok.json"),
+              "--style", "t5", "--kind", "word"])
+    cli_main(["build-tokenizer", "--from-json", str(workdir / "train.json"),
+              str(workdir / "corpus.json"), "--out", str(workdir / "btok.json"),
+              "--style", "bert", "--kind", "word"])
+    assert (workdir / "tok.json").exists()
+    assert (workdir / "btok.json").exists()
+
+
+@pytest.mark.slow
+def test_full_pipeline_stages(workdir, capsys):
+    wd = workdir
+    # tokenizers (function-scope order: ensure built)
+    if not (wd / "tok.json").exists():
+        test_build_tokenizers(workdir)
+
+    # 1. reader training
+    cli_main(["train-reader", "--config", str(wd / "reader_cfg.json"),
+              "--t5-config", str(wd / "t5_cfg.json"),
+              "--train-data", str(wd / "train.json"),
+              "--eval-data", str(wd / "eval.json"),
+              "--tokenizer", str(wd / "tok.json")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["best_dev_em"] > 0.5, out
+
+    import os
+    ckpt = str(wd / "ckpt" / "reader" / "checkpoint" / "best_dev")
+    assert os.path.exists(ckpt)
+
+    # 2. eval with cross-attention scores on both splits
+    for split in ("train", "eval"):
+        cli_main(["eval-reader", "--config", str(wd / "reader_cfg.json"),
+                  "--t5-config", str(wd / "t5_cfg.json"),
+                  "--eval-data", str(wd / f"{split}.json"),
+                  "--model-path", ckpt,
+                  "--tokenizer", str(wd / "tok.json"),
+                  "--write-crossattention-scores", str(wd / f"{split}_scored.json"),
+                  "--write-results", str(wd / f"{split}_results.json")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["em"] > 0.5
+    scored = json.loads((wd / "eval_scored.json").read_text())
+    # scores must be attached and normalized per example
+    row = scored[0]["fact"]
+    s = sum(f["score"] for f in row[:3])
+    assert abs(s - 1.0) < 1e-4, row
+
+    # 3. retriever distillation
+    cli_main(["train-retriever", "--config", str(wd / "retriever_cfg.json"),
+              "--train-data", str(wd / "train_scored.json"),
+              "--eval-data", str(wd / "eval_scored.json"),
+              "--tokenizer", str(wd / "btok.json")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["best_inversions"])
+    retr_ckpt = str(wd / "ckpt" / "retriever" / "checkpoint" / "best_dev")
+    assert os.path.exists(retr_ckpt)
+
+    # 4. embed corpus into dense index
+    cli_main(["embed-facts", "--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt,
+              "--corpus", str(wd / "corpus.json"),
+              "--out", str(wd / "index"),
+              "--tokenizer", str(wd / "btok.json"),
+              "--batch-size", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_facts"] == len(ANIMALS)
+
+    # 5a. full dense retrieval
+    cli_main(["retrieve", "--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt, "--index", str(wd / "index"),
+              "--corpus", str(wd / "corpus.json"),
+              "--data", str(wd / "eval.json"),
+              "--out", str(wd / "eval_retrieved.json"),
+              "--tokenizer", str(wd / "btok.json"), "--n-docs", "4"])
+    retrieved = json.loads((wd / "eval_retrieved.json").read_text())
+    assert all(len(ex["fact"]) == 4 for ex in retrieved)
+    assert all("score" in ex["fact"][0] for ex in retrieved)
+
+    # 5b. small-range re-rank
+    cli_main(["retrieve", "--small-range",
+              "--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt, "--index", str(wd / "index"),
+              "--corpus", str(wd / "corpus.json"),
+              "--data", str(wd / "eval.json"),
+              "--out", str(wd / "eval_reranked.json"),
+              "--tokenizer", str(wd / "btok.json")])
+    reranked = json.loads((wd / "eval_reranked.json").read_text())
+    for ex in reranked:
+        scores = [f["score"] for f in ex["fact"]]
+        assert scores == sorted(scores, reverse=True)
+
+    # 6. retrieval quality
+    cli_main(["eval-facts", "--data", str(wd / "eval_reranked.json"),
+              "--hitk", "1", "2", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"include", "stem"}
+    assert 0.0 <= out["include"]["3"] <= 1.0 or 0.0 <= out["include"][3] <= 1.0
+
+
+def test_mine_candidates_cli(workdir, capsys):
+    wd = workdir
+    triples = [[a, "says#rel", s] for a, s in zip(ANIMALS, SOUNDS)]
+    (wd / "triples.json").write_text(json.dumps(triples))
+    (wd / "templates.json").write_text(json.dumps({"says#rel": "says"}))
+    rows = [{"sent": f"what sound does the {ANIMALS[0]} make?",
+             "label": {SOUNDS[0]: 1.0}, "img_id": "img0"}]
+    (wd / "cache_rows.json").write_text(json.dumps(rows))
+    (wd / "captions.json").write_text(json.dumps(
+        {"img0": [{"caption": f"a {ANIMALS[0]} on the grass"}]}))
+
+    cli_main(["mine-candidates", "--triples", str(wd / "triples.json"),
+              "--templates", str(wd / "templates.json"),
+              "--data", str(wd / "cache_rows.json"),
+              "--captions", str(wd / "captions.json"),
+              "--out", str(wd / "mined.json"),
+              "--corpus-out", str(wd / "mined_corpus.json"), "--k", "5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["examples"] == 1
+    mined = json.loads((wd / "mined.json").read_text())
+    assert mined[0]["fact"][0]["sentence"] == f"{ANIMALS[0]} says {SOUNDS[0]}."
+    corpus = json.loads((wd / "mined_corpus.json").read_text())
+    assert len(corpus) == len(ANIMALS)
+
+
+def test_prep_answers_cli(workdir, capsys):
+    wd = workdir
+    annotations = [{
+        "question_id": i, "image_id": f"im{i}", "answer_type": "other",
+        "question_type": "what",
+        "answers": [{"answer": "cat"}] * 4 + [{"answer": "dog"}],
+        "multiple_choice_answer": "cat",
+    } for i in range(3)]
+    questions = [{"question_id": i, "question": f"q{i}?"} for i in range(3)]
+    (wd / "annotations.json").write_text(json.dumps(annotations))
+    (wd / "questions.json").write_text(json.dumps(questions))
+    cli_main(["prep-answers", "--annotations", str(wd / "annotations.json"),
+              "--questions", str(wd / "questions.json"),
+              "--dataset", "okvqa", "--min-occurence", "2",
+              "--out-dir", str(wd / "prep")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["answers"] == 2  # cat, dog
+    targets = json.loads((wd / "prep" / "train.json").read_text())
+    assert targets[0]["label"]["cat"] == 1.0
+    assert targets[0]["label"]["dog"] == 0.3
