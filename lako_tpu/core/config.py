@@ -72,6 +72,9 @@ class T5Config(_ConfigBase):
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
+    # Fuse encoder self-attention into a single Pallas kernel (TPU only; used
+    # when attention-prob dropout is inactive). See lako_tpu/ops/flash_attention.
+    use_flash_attention: bool = False
 
     @property
     def d_inner(self) -> int:

@@ -139,10 +139,12 @@ class T5Attention(nn.Module):
         deterministic: bool = True,
         cache: Optional[Tuple[Array, Array]] = None,
         cache_index: Optional[Array] = None,
+        allow_fused: bool = False,
     ):
         """bias: additive logits bias (1|B, heads|1, q, k) — already includes any
         key masking as NEG_INF. cache: (k, v) of shape (B, h, max_len, d) for
-        incremental decoding; cache_index is the current write position."""
+        incremental decoding; cache_index is the current write position.
+        allow_fused: permit the Pallas fused path (no logits output)."""
         cfg = self.config
         q = self.split_heads(self.q(hidden))
         if cache is not None and kv is None:
@@ -157,6 +159,17 @@ class T5Attention(nn.Module):
             source = hidden if kv is None else kv
             k = self.split_heads(self.k(source))
             v = self.split_heads(self.v(source))
+
+        if (allow_fused and cfg.use_flash_attention and cache is None
+                and (deterministic or cfg.dropout_rate == 0.0)):
+            from lako_tpu.ops.flash_attention import (
+                fused_attention,
+                supports_fused_attention,
+            )
+
+            if supports_fused_attention():
+                out = fused_attention(q, k, v, bias)
+                return self.o(self.merge_heads(out)), None, (k, v)
 
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         if bias is not None:
@@ -225,7 +238,8 @@ class T5EncoderBlock(nn.Module):
     def __call__(self, x: Array, bias: Array, deterministic: bool = True) -> Array:
         # NOTE: `deterministic` is positional so nn.remat can mark it static.
         cfg = self.config
-        h, _, _ = self.self_attn(self.ln_attn(x), bias=bias, deterministic=deterministic)
+        h, _, _ = self.self_attn(self.ln_attn(x), bias=bias,
+                                 deterministic=deterministic, allow_fused=True)
         if not deterministic and cfg.dropout_rate > 0.0:
             h = self.dropout(h, deterministic=False)
         x = x + h

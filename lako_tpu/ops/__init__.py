@@ -1,0 +1,3 @@
+from lako_tpu.ops.flash_attention import fused_attention
+
+__all__ = ["fused_attention"]

@@ -105,6 +105,7 @@ def cmd_eval_reader(args):
         t5_config=_t5_cfg(args, tok),
         write_results=args.write_results,
         write_crossattention_scores=args.write_crossattention_scores,
+        num_beams=args.num_beams,
     )
     print(json.dumps(out))
 
@@ -240,6 +241,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["mean", "max", "21mean"])
     t.add_argument("--use-last-half-layer-attention", action="store_true")
     t.add_argument("--ans-attention", action="store_true")
+    t.add_argument("--num-beams", type=int, default=1)
     t.set_defaults(fn=cmd_eval_reader)
 
     t = sub.add_parser("train-retriever", help="distill retriever from attention")

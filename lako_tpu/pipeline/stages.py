@@ -101,9 +101,14 @@ def eval_reader_stage(
     t5_config: Optional[T5Config] = None,
     write_results: Optional[str] = None,
     write_crossattention_scores: Optional[str] = None,
+    num_beams: int = 1,
 ) -> Dict[str, Any]:
     """Evaluate EM/include/stem and optionally write the scored dataset for
-    retriever distillation (reference test_reader.py:31-213)."""
+    retriever distillation (reference test_reader.py:31-213).
+
+    num_beams > 1 switches to beam search (cross-attention score writing
+    requires greedy, matching the reference's pipeline which scores during
+    greedy generate)."""
     logger = get_logger()
     examples = _load_json(eval_data)
     t5_cfg = t5_config or t5_config_for_size(cfg.model_size,
@@ -120,8 +125,19 @@ def eval_reader_stage(
     params, _, _ = load_checkpoint(model_path, template)
 
     collect = write_crossattention_scores is not None
-    generate_fn = make_generate_fn(model, max_length=cfg.eval_max_length,
-                                   collect_cross_scores=collect)
+    if num_beams > 1:
+        if collect:
+            raise ValueError("cross-attention score writing requires greedy decode")
+        from lako_tpu.models.t5.beam import make_beam_generate_fn
+
+        beam_fn = make_beam_generate_fn(model, max_length=cfg.eval_max_length,
+                                        num_beams=num_beams)
+
+        def generate_fn(params, ids, mask):
+            return beam_fn(params, ids, mask), None
+    else:
+        generate_fn = make_generate_fn(model, max_length=cfg.eval_max_length,
+                                       collect_cross_scores=collect)
 
     ds = ReaderDataset(examples, cfg.data, seed=cfg.seed)
     collator = ReaderCollator(cfg.data, tokenizer)

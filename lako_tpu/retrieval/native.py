@@ -1,0 +1,111 @@
+"""ctypes bindings for the native (C++) host MIPS engine.
+
+``NativeIndex`` mirrors :class:`DenseIndex`'s search/rerank API on the host CPU —
+the faiss-cpu role of the reference (src/index.py) — for accelerator-less
+environments. Builds on demand with ``make -C native`` (g++, no external deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "liblako_native.so"
+_lib = None
+
+
+def build_native(force: bool = False) -> Path:
+    """Compile liblako_native.so (idempotent)."""
+    if force or not _LIB_PATH.exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    build_native()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.lako_mips_topk.restype = ctypes.c_int
+    lib.lako_mips_topk.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    lib.lako_mips_rerank.restype = ctypes.c_int
+    lib.lako_mips_rerank.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+class NativeIndex:
+    """Host-CPU exact MIPS with the DenseIndex search/rerank interface."""
+
+    def __init__(self, embeddings: np.ndarray, ids: Optional[np.ndarray] = None,
+                 n_threads: int = 0):
+        self._emb = np.ascontiguousarray(embeddings, dtype=np.float32)
+        self.n, self.dim = self._emb.shape
+        self.ids = np.arange(self.n, dtype=np.int64) if ids is None \
+            else np.asarray(ids, dtype=np.int64)
+        self.n_threads = n_threads
+        _load()
+
+    def search(self, queries: np.ndarray, k: int,
+               batch_size: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        nq = len(q)
+        k = min(k, self.n)
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_scores = np.empty((nq, k), dtype=np.float32)
+        rc = _load().lako_mips_topk(
+            _fptr(self._emb), self.n, self.dim, _fptr(q), nq, k,
+            _iptr(out_ids), _fptr(out_scores), self.n_threads,
+        )
+        if rc != 0:
+            raise RuntimeError(f"lako_mips_topk failed rc={rc}")
+        return self.ids[out_ids], out_scores
+
+    def rerank(self, candidate_ids: np.ndarray, queries: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        cand = np.ascontiguousarray(candidate_ids, dtype=np.int64)
+        nq, c = cand.shape
+        out_ids = np.empty((nq, c), dtype=np.int64)
+        out_scores = np.empty((nq, c), dtype=np.float32)
+        rc = _load().lako_mips_rerank(
+            _fptr(self._emb), self.n, self.dim, _fptr(q), nq,
+            _iptr(cand), c, _iptr(out_ids), _fptr(out_scores), self.n_threads,
+        )
+        if rc != 0:
+            raise RuntimeError(f"lako_mips_rerank failed rc={rc}")
+        return out_ids, out_scores
