@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lako_tpu.core.checkpoint import save_checkpoint
+from lako_tpu.core import preemption
+from lako_tpu.core.checkpoint import load_checkpoint, save_checkpoint
 from lako_tpu.core.config import ReaderTrainConfig, t5_config_for_size
 from lako_tpu.core.logging import get_logger
 from lako_tpu.core.mesh import batch_sharding, make_mesh, replicated, shard_batch
@@ -106,7 +107,13 @@ def train_reader(
     t5_config=None,
     mesh=None,
     save_checkpoints: bool = True,
+    resume_from: Optional[str] = None,
+    reset_params: bool = True,
 ) -> ReaderTrainResult:
+    """resume_from: checkpoint dir to restore from. reset_params=True restores
+    model weights only (fresh optimizer — the reference's warm-start path,
+    util.py:124-146 with reset_params); False restores optimizer state, step and
+    best metric too (crash/preemption resume)."""
     logger = get_logger()
     mesh = mesh or make_mesh(cfg.mesh)
     t5_cfg = t5_config or t5_config_for_size(cfg.model_size, vocab_size=tokenizer.vocab_size)
@@ -137,13 +144,27 @@ def train_reader(
             jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
         )
         init_params = variables["params"]
-    init_params = jax.device_put(init_params, replicated(mesh))
-    state = TrainState.create(init_params, tx)
+    best_dev_em, step = 0.0, 0
+    if resume_from is not None:
+        opt_template = tx.init(init_params) if not reset_params else None
+        params, opt_state, meta = load_checkpoint(resume_from, init_params,
+                                                  opt_template)
+        init_params = params
+        init_params = jax.device_put(init_params, replicated(mesh))
+        state = TrainState.create(init_params, tx)
+        if not reset_params and opt_state is not None:
+            step = int(meta.get("step", 0))
+            best_dev_em = float(meta.get("best_eval_metric", 0.0))
+            state = state.replace(opt_state=jax.device_put(opt_state, replicated(mesh)),
+                                  step=jnp.asarray(step, jnp.int32))
+    else:
+        init_params = jax.device_put(init_params, replicated(mesh))
+        state = TrainState.create(init_params, tx)
 
     train_step = make_reader_train_step(model)
     generate_fn = make_generate_fn(model, max_length=cfg.eval_max_length)
 
-    best_dev_em, patience, step = 0.0, 0, 0
+    patience = 0
     history: List[Dict[str, float]] = []
     ckpt_dir = f"{cfg.checkpoint_dir}/{cfg.name}"
     epoch = 0
@@ -162,6 +183,10 @@ def train_reader(
                                      sharded["labels"], rng)
             losses.append(loss)
             step += 1
+            if preemption.preempted():
+                preemption.handle_preemption(lambda: save_checkpoint(
+                    ckpt_dir, "preempted", state.params, state.opt_state,
+                    step, best_dev_em) if save_checkpoints else None)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
         patience += 1
@@ -180,6 +205,11 @@ def train_reader(
             if save_checkpoints:
                 save_checkpoint(ckpt_dir, "best_dev", state.params, state.opt_state,
                                 step, best_dev_em)
+        if save_checkpoints:
+            # refreshed every epoch for crash/preemption resume (the reference
+            # only writes on improvement; `latest` then points here)
+            save_checkpoint(ckpt_dir, "last", state.params, state.opt_state,
+                            step, best_dev_em)
         if patience > cfg.early_stop:
             logger.info("early stop in epoch %d", epoch)
             break
