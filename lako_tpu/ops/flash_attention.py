@@ -13,6 +13,14 @@ unchanged and exactly consistent with the fused forward.
 Inputs may have any L; they are padded to the 128-lane tile internally and pad
 keys are masked with −inf bias. Falls back to a pure-XLA implementation off-TPU
 (and under ``interpret=True`` in tests).
+
+MEASURED (v5e, bf16, B·N=16, H=16, L=130, D=64 — LaKo's headline shape):
+XLA 2.04 ms vs this kernel 28.8 ms. At L=130 the 128-tile padding (L→256,
+D→128) wastes ~8× of the logits work and XLA's own fusion already avoids most
+of the HBM roundtrip, so the kernel LOSES at reference shapes. It is therefore
+OFF by default (T5Config.use_flash_attention=False) and retained for
+long-context configurations and as the base for a streamed flash variant.
+Measure before enabling.
 """
 
 from __future__ import annotations
