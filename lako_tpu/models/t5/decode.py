@@ -87,21 +87,31 @@ def greedy_generate(
     tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
     done0 = tok0 == cfg.eos_token_id
 
-    def scan_body(carry, step):
-        prev_tok, done, caches = carry
+    # lax.while_loop with early exit once every row has emitted EOS — answers
+    # are typically 1-5 tokens vs max_length 50, so this saves ~10x decode work
+    # (HF generate early-stops the same way).
+    tokens0 = jnp.full((B, steps), cfg.pad_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+
+    def cond(state):
+        step, tokens, prev_tok, done, caches = state
+        return (step < steps) & ~jnp.all(done)
+
+    def body(state):
+        step, tokens, prev_tok, done, caches = state
         logits, _, new_caches = one_step(prev_tok, caches, step, False)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok = jnp.where(done, cfg.pad_token_id, tok)
         new_done = done | (tok == cfg.eos_token_id)
-        return (tok, new_done, new_caches), tok
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, step))
+        return step + 1, tokens, tok, new_done, new_caches
 
     if steps > 1:
-        (_, _, _), rest = jax.lax.scan(
-            scan_body, (tok0, done0, caches), jnp.arange(1, steps, dtype=jnp.int32)
+        _, tokens, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), tokens0, tok0, done0, caches)
         )
-        tokens = jnp.concatenate([tok0[:, None], rest.swapaxes(0, 1)], axis=1)
     else:
-        tokens = tok0[:, None]
+        tokens = tokens0
     return tokens, xl0
 
 

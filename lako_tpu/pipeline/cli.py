@@ -200,6 +200,35 @@ def cmd_prep_answers(args):
     print(json.dumps({"answers": len(ans2label), "examples": len(targets)}))
 
 
+def cmd_prep_questions(args):
+    """id2question + question Dictionary (+ optional GloVe embedding matrix) —
+    the reference deal_data.py Runner's question-side outputs."""
+    import numpy as np
+
+    from lako_tpu.text.dictionary import Dictionary, WordVectors, build_id2question
+
+    questions = json.loads(Path(args.questions).read_text())
+    if isinstance(questions, dict):
+        questions = questions["questions"]
+    id2q = build_id2question(questions)
+    outdir = Path(args.out_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    (outdir / "id2question.json").write_text(json.dumps(id2q))
+
+    d = Dictionary()
+    for q in id2q.values():
+        d.tokenize(q, add_word=True)
+    d.dump_to_file(str(outdir / "qs_dictionary.pkl"))
+
+    out = {"questions": len(id2q), "vocab": len(d)}
+    if args.glove:
+        wv = WordVectors(args.glove)
+        mat = wv.embedding_matrix(d)
+        np.save(outdir / "glove_init.npy", mat)
+        out["glove_matrix"] = list(mat.shape)
+    print(json.dumps(out))
+
+
 def cmd_full_loop(args):
     from lako_tpu.pipeline.full_loop import run_full_loop
 
@@ -297,6 +326,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--split", default="train")
     t.add_argument("--out-dir", required=True)
     t.set_defaults(fn=cmd_prep_answers)
+
+    t = sub.add_parser("prep-questions", help="id2question + dictionary + GloVe matrix")
+    t.add_argument("--questions", required=True)
+    t.add_argument("--glove", help="local GloVe-format txt (optional)")
+    t.add_argument("--out-dir", required=True)
+    t.set_defaults(fn=cmd_prep_questions)
 
     t = sub.add_parser("full-loop", help="iterative reader/retriever loop")
     t.add_argument("--workdir", required=True)

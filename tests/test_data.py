@@ -148,3 +148,15 @@ class TestLoader:
 
         train_batches = list(batch_iterator(ds, 4, col, shuffle=True, drop_last=True))
         assert len(train_batches) == 4
+
+
+class TestSeparateFacts:
+    def test_one_passage_per_fact(self, examples, tok):
+        cfg = make_cfg(fact_use_way="separate")
+        ds = ReaderDataset(examples, cfg)
+        item = ds[0]
+        assert isinstance(item["fact"], list)
+        batch = ReaderCollator(cfg, tok)([item])
+        # N = 1 question+caption passage + n_context fact passages
+        assert batch.passage_ids.shape == (1, 1 + 4, 24)
+        assert batch.passage_mask[0, 1].sum() > 0

@@ -200,3 +200,19 @@ def test_prep_answers_cli(workdir, capsys):
     targets = json.loads((wd / "prep" / "train.json").read_text())
     assert targets[0]["label"]["cat"] == 1.0
     assert targets[0]["label"]["dog"] == 0.3
+
+
+def test_prep_questions_cli(workdir, capsys):
+    wd = workdir
+    questions = [{"question_id": i, "question": f"what is thing {i}?"}
+                 for i in range(5)]
+    (wd / "qs.json").write_text(json.dumps(questions))
+    (wd / "glove.txt").write_text("what 1.0 0.0\nthing 0.0 1.0\n")
+    cli_main(["prep-questions", "--questions", str(wd / "qs.json"),
+              "--glove", str(wd / "glove.txt"),
+              "--out-dir", str(wd / "qprep")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["questions"] == 5
+    assert out["glove_matrix"][1] == 2
+    assert (wd / "qprep" / "id2question.json").exists()
+    assert (wd / "qprep" / "qs_dictionary.pkl").exists()

@@ -82,3 +82,21 @@ def test_sigterm_ignored_by_default():
     assert not preemption.preempted()
     signal.signal(signal.SIGTERM, signal.SIG_DFL)
     preemption.reset()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from lako_tpu.core.checkpoint_orbax import OrbaxCheckpointManager
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}
+    opt = {"mu": jnp.zeros((2, 3))}
+    mgr = OrbaxCheckpointManager(str(tmp_path / "run"), use_async=True)
+    mgr.save("best_dev", params, opt, step=7, best_eval_metric=0.42)
+    mgr.wait()
+    template = {"w": jnp.zeros((2, 3)), "b": jnp.zeros(3)}
+    p2, o2, meta = mgr.restore("best_dev", template, {"mu": jnp.ones((2, 3))})
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(o2["mu"]), 0.0)
+    assert meta == {"step": 7, "best_eval_metric": 0.42}
+    mgr.close()
