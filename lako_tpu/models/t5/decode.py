@@ -128,3 +128,25 @@ def make_generate_fn(
         )
 
     return fn
+
+
+def make_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int = 50
+                               ) -> Callable:
+    """Generate + ON-DEVICE fact-score aggregation in one executable:
+    (params, ids, mask, fact_spans) → (tokens, fact_scores (B, n_context)).
+
+    Only the tokens and n_context floats per example cross the host boundary —
+    the (B, layers, heads, N·L) logits never leave the chip. This is the fast
+    path for the attention-generate stage."""
+    from lako_tpu.signal.aggregate import aggregate_fact_scores_device
+
+    @jax.jit
+    def fn(params, input_ids, mask, fact_spans):
+        tokens, xl = greedy_generate(
+            model, params, input_ids, mask,
+            max_length=max_length, collect_cross_scores=True,
+        )
+        scores = aggregate_fact_scores_device(xl, mask, fact_spans, signal_cfg)
+        return tokens, scores
+
+    return fn

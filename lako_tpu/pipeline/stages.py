@@ -135,9 +135,14 @@ def eval_reader_stage(
 
         def generate_fn(params, ids, mask):
             return beam_fn(params, ids, mask), None
+    elif collect:
+        from lako_tpu.models.t5.decode import make_generate_and_score_fn
+
+        generate_score_fn = make_generate_and_score_fn(
+            model, signal_cfg, max_length=cfg.eval_max_length)
     else:
         generate_fn = make_generate_fn(model, max_length=cfg.eval_max_length,
-                                       collect_cross_scores=collect)
+                                       collect_cross_scores=False)
 
     ds = ReaderDataset(examples, cfg.data, seed=cfg.seed)
     collator = ReaderCollator(cfg.data, tokenizer)
@@ -147,16 +152,18 @@ def eval_reader_stage(
     t0 = time.time()
     n_decoded = 0
     for batch in batch_iterator(ds, cfg.eval_batch_size, collator, shuffle=False):
-        tokens, xl = generate_fn(params, jnp.asarray(batch.passage_ids),
-                                 jnp.asarray(batch.passage_mask))
-        decoded = tokenizer.batch_decode(np.asarray(tokens))
         if collect:
-            raw = aggregate_fact_scores(np.asarray(xl), batch.passage_mask,
-                                        batch.fact_spans, signal_cfg)
+            tokens, raw = generate_score_fn(
+                params, jnp.asarray(batch.passage_ids),
+                jnp.asarray(batch.passage_mask), jnp.asarray(batch.fact_spans))
             batch_examples = [ds.get_example(int(i)) for i in batch.index]
-            scores = apply_ans_attention_bonus(raw, batch_examples,
+            scores = apply_ans_attention_bonus(np.asarray(raw), batch_examples,
                                                signal_cfg.n_context,
                                                signal_cfg.ans_attention)
+        else:
+            tokens, _ = generate_fn(params, jnp.asarray(batch.passage_ids),
+                                    jnp.asarray(batch.passage_mask))
+        decoded = tokenizer.batch_decode(np.asarray(tokens))
         for k, ans in enumerate(decoded):
             if not batch.valid[k]:
                 continue

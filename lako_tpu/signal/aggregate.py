@@ -77,6 +77,55 @@ def aggregate_fact_scores(
     return out.astype(np.float32)
 
 
+def aggregate_fact_scores_device(
+    cross_logits,   # (B, layers, heads, K) jax array, first-step logits
+    passage_mask,   # (B, N, L) bool
+    fact_spans,     # (B, n_context, 2) int32
+    cfg: AttentionSignalConfig,
+):
+    """Jittable on-device version of :func:`aggregate_fact_scores` (same
+    semantics, verified equal in tests). Keeping aggregation on device means
+    only (B, n_context) floats cross the host boundary instead of the full
+    (B, layers, heads, N·L) logit block."""
+    import jax
+    import jax.numpy as jnp
+
+    assert cfg.stream == 2
+    B, n_layers, n_heads, K = cross_logits.shape
+    _, N, L = passage_mask.shape
+    scores = jnp.where(passage_mask.reshape(B, 1, 1, K),
+                       cross_logits.astype(jnp.float32), 0.0)
+    used = scores.reshape(B, n_layers, n_heads, N, L)
+    if cfg.use_last_half_layer_attention:
+        used = used[:, n_layers // 2:]
+    fact_stream = used[:, :, :, 1, :].sum(axis=(1, 2))  # (B, L)
+
+    pos = jnp.arange(L)[None, None, :]                      # (1, 1, L)
+    s = fact_spans[:, :, 0:1].astype(jnp.int32)             # (B, C, 1)
+    e = fact_spans[:, :, 1:2].astype(jnp.int32)
+    member = (pos >= s) & (pos < e)                         # (B, C, L)
+    length = jnp.maximum((e - s)[..., 0], 1).astype(jnp.float32)  # (B, C)
+    stream = fact_stream[:, None, :]                        # (B, 1, L)
+
+    if cfg.attention_score_style == "mean":
+        agg = jnp.sum(jnp.where(member, stream, 0.0), axis=-1) / length
+    elif cfg.attention_score_style == "max":
+        agg = jnp.max(jnp.where(member, stream, -jnp.inf), axis=-1)
+    elif cfg.attention_score_style == "21mean":
+        vals = jnp.where(member, stream, -jnp.inf)
+        vals = jnp.sort(vals, axis=-1)[..., ::-1]           # desc
+        num = jnp.maximum(((e - s)[..., 0] + 1) // 2, 1)    # (B, C)
+        rank = jnp.arange(L)[None, None, :]
+        take = rank < num[..., None]
+        agg = jnp.sum(jnp.where(take, vals, 0.0), axis=-1) / num.astype(jnp.float32)
+    else:
+        raise ValueError(cfg.attention_score_style)
+
+    empty = (e - s)[..., 0] <= 0
+    agg = jnp.where(empty, cfg.pad_score, agg)
+    return agg / (n_layers * n_heads)
+
+
 def _softmax(x: np.ndarray) -> np.ndarray:
     x = x - x.max(axis=-1, keepdims=True)
     e = np.exp(x)

@@ -224,3 +224,39 @@ class TestHitAtK:
         data = [{"answer": {"meow": 1.0}, "fact": [{"sentence": "nothing."}]}]
         inc, _ = hit_at_k(data, hitk=(1, 5))
         assert inc[1] == 0.0 and inc[5] == 0.0
+
+
+class TestPQIndex:
+    def test_pq_recall_vs_exact(self, tmp_path):
+        from lako_tpu.retrieval.pq import PQIndex
+
+        rng = np.random.default_rng(5)
+        # clustered corpus so PQ has structure to exploit
+        centers = rng.normal(size=(16, 32)) * 3
+        emb = (centers[rng.integers(0, 16, 2000)]
+               + rng.normal(size=(2000, 32)) * 0.3).astype(np.float32)
+        q = (centers[rng.integers(0, 16, 8)]
+             + rng.normal(size=(8, 32)) * 0.3).astype(np.float32)
+
+        pq = PQIndex.train(emb, n_subquantizers=16, n_bits=8, train_size=1000,
+                           iters=8)
+        ids_pq, scores_pq = pq.search(q, k=20)
+        ref = q @ emb.T
+        recall = np.mean([
+            len(set(ids_pq[i]) & set(np.argsort(-ref[i])[:20])) / 20
+            for i in range(len(q))
+        ])
+        assert recall > 0.6, recall
+        # LUT scores must equal exact scores on the reconstructed corpus
+        recon = np.concatenate(
+            [pq.codebooks[j][pq.codes[:, j]] for j in range(pq.m)], axis=1)
+        approx = q @ recon.T
+        np.testing.assert_allclose(
+            scores_pq[0], np.sort(approx[0])[::-1][:20], atol=1e-4)
+        # scores sorted descending
+        assert all((np.diff(scores_pq[i]) <= 1e-5).all() for i in range(len(q)))
+
+        pq.save(str(tmp_path / "pq"))
+        pq2 = PQIndex.load(str(tmp_path / "pq"))
+        ids2, _ = pq2.search(q, k=20)
+        np.testing.assert_array_equal(ids_pq, ids2)

@@ -125,3 +125,57 @@ def test_attach_scores():
     examples = [{"fact": [{"sentence": "a."}, {"sentence": "b."}]}]
     attach_scores_to_examples(examples, np.array([[0.7, 0.3]]), 2)
     assert examples[0]["fact"][0]["score"] == pytest.approx(0.7)
+
+
+@pytest.mark.parametrize("style", ["mean", "max", "21mean"])
+@pytest.mark.parametrize("last_half", [False, True])
+def test_device_aggregation_matches_numpy(batch_and_logits, style, last_half):
+    import jax.numpy as jnp
+
+    from lako_tpu.signal import aggregate_fact_scores_device
+
+    tok, data_cfg, ds, batch, logits, period_id = batch_and_logits
+    cfg = AttentionSignalConfig(attention_score_style=style,
+                                use_last_half_layer_attention=last_half,
+                                n_context=3)
+    host = aggregate_fact_scores(logits, batch.passage_mask, batch.fact_spans, cfg)
+    dev = aggregate_fact_scores_device(
+        jnp.asarray(logits), jnp.asarray(batch.passage_mask),
+        jnp.asarray(batch.fact_spans), cfg)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-5, atol=1e-6)
+
+
+def test_generate_and_score_fn():
+    import jax
+    import jax.numpy as jnp
+
+    from lako_tpu.core.config import T5Config
+    from lako_tpu.models.t5 import FiDT5
+    from lako_tpu.models.t5.decode import make_generate_and_score_fn, make_generate_fn
+
+    tok = make_tokenizer()
+    dcfg = ReaderDataConfig(n_context=3, text_maxlength=24, answer_maxlength=4,
+                            stream=2)
+    ds = ReaderDataset(make_examples(4, 3, 11), dcfg)
+    batch = ReaderCollator(dcfg, tok)([ds[i] for i in range(4)])
+    t5 = T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
+                  num_layers=2, num_decoder_layers=2, num_heads=2,
+                  relative_attention_num_buckets=8, dropout_rate=0.0)
+    model = FiDT5(t5)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(batch.passage_ids),
+                        jnp.asarray(batch.passage_mask),
+                        jnp.zeros((4, 4), jnp.int32))["params"]
+    scfg = AttentionSignalConfig(n_context=3)
+    fn = make_generate_and_score_fn(model, scfg, max_length=4)
+    tokens, scores = fn(params, jnp.asarray(batch.passage_ids),
+                        jnp.asarray(batch.passage_mask),
+                        jnp.asarray(batch.fact_spans))
+    assert scores.shape == (4, 3)
+    # equals the two-stage host path
+    gen = make_generate_fn(model, max_length=4, collect_cross_scores=True)
+    t2, xl = gen(params, jnp.asarray(batch.passage_ids),
+                 jnp.asarray(batch.passage_mask))
+    host = aggregate_fact_scores(np.asarray(xl), batch.passage_mask,
+                                 batch.fact_spans, scfg)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(scores), host, rtol=1e-4, atol=1e-5)
