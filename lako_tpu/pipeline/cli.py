@@ -200,6 +200,16 @@ def cmd_prep_answers(args):
     print(json.dumps({"answers": len(ans2label), "examples": len(targets)}))
 
 
+def cmd_truncate_data(args):
+    """Keep the first K examples (reference deal_vqa.py:1-28)."""
+    from lako_tpu.data.prompt import truncate_dataset
+
+    data = json.loads(Path(args.data).read_text())
+    out = truncate_dataset(data, args.keep)
+    Path(args.out).write_text(json.dumps(out))
+    print(json.dumps({"kept": len(out), "out": args.out}))
+
+
 def cmd_prep_questions(args):
     """id2question + question Dictionary (+ optional GloVe embedding matrix) —
     the reference deal_data.py Runner's question-side outputs."""
@@ -326,6 +336,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--split", default="train")
     t.add_argument("--out-dir", required=True)
     t.set_defaults(fn=cmd_prep_answers)
+
+    t = sub.add_parser("truncate-data", help="keep the first K examples of a JSON dataset")
+    t.add_argument("--data", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--keep", type=int, required=True)
+    t.set_defaults(fn=cmd_truncate_data)
 
     t = sub.add_parser("prep-questions", help="id2question + dictionary + GloVe matrix")
     t.add_argument("--questions", required=True)

@@ -77,6 +77,31 @@ def aggregate_fact_scores(
     return out.astype(np.float32)
 
 
+def question_passage_score(
+    cross_logits: np.ndarray,   # (B, layers, heads, K)
+    passage_mask: np.ndarray,   # (B, N, L)
+    question_spans: np.ndarray,  # (B, 2) [start, end) of the question tokens in
+                                 # passage 0 (after the "question:" prefix)
+    cfg: AttentionSignalConfig,
+) -> np.ndarray:
+    """Per-example attention score of the question span in the first passage —
+    the ``consider_context_attention`` signal (reference get_psg_score,
+    src/model.py:117-141; defined there but wired to an unused flag). Provided
+    for completeness with collate-time spans instead of token-id walking."""
+    B, n_layers, n_heads, K = cross_logits.shape
+    _, N, L = passage_mask.shape
+    scores = np.where(passage_mask.reshape(B, 1, 1, K),
+                      np.asarray(cross_logits, np.float64), 0.0)
+    psg_stream = scores.reshape(B, n_layers, n_heads, N, L)[:, :, :, 0, :] \
+        .sum(axis=(1, 2))  # (B, L)
+    out = np.zeros(B, dtype=np.float64)
+    for b in range(B):
+        s, e = int(question_spans[b, 0]), int(question_spans[b, 1])
+        if e > s:
+            out[b] = _style_aggregate(psg_stream[b, s:e], cfg.attention_score_style)
+    return (out / (n_layers * n_heads)).astype(np.float32)
+
+
 def aggregate_fact_scores_device(
     cross_logits,   # (B, layers, heads, K) jax array, first-step logits
     passage_mask,   # (B, N, L) bool

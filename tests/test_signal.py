@@ -179,3 +179,16 @@ def test_generate_and_score_fn():
                                  batch.fact_spans, scfg)
     np.testing.assert_array_equal(np.asarray(tokens), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(scores), host, rtol=1e-4, atol=1e-5)
+
+
+def test_question_passage_score():
+    from lako_tpu.signal.aggregate import question_passage_score
+
+    B, layers, heads, N, L = 2, 2, 2, 2, 10
+    logits = np.ones((B, layers, heads, N * L), dtype=np.float32)
+    mask = np.ones((B, N, L), dtype=bool)
+    spans = np.array([[2, 6], [0, 0]], dtype=np.int32)
+    cfg = AttentionSignalConfig(attention_score_style="mean")
+    out = question_passage_score(logits, mask, spans, cfg)
+    assert out[0] == pytest.approx(1.0)  # mean of summed ones / (layers*heads)
+    assert out[1] == 0.0  # empty span
