@@ -56,6 +56,7 @@ def greedy_generate(
     mask: Array,        # (B, N, L) bool
     max_length: int = 50,
     collect_cross_scores: bool = False,
+    early_exit: bool = False,
 ) -> Tuple[Array, Optional[Array]]:
     """Greedy decode. Returns (tokens (B, max_length-1), first-step cross-attention
     logits (B, layers, heads, N·L) or None).
@@ -87,36 +88,55 @@ def greedy_generate(
     tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
     done0 = tok0 == cfg.eos_token_id
 
-    # lax.while_loop with early exit once every row has emitted EOS — answers
-    # are typically 1-5 tokens vs max_length 50, so this saves ~10x decode work
-    # (HF generate early-stops the same way).
-    tokens0 = jnp.full((B, steps), cfg.pad_token_id, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(tok0)
-
-    def cond(state):
-        step, tokens, prev_tok, done, caches = state
-        return (step < steps) & ~jnp.all(done)
-
-    def body(state):
-        step, tokens, prev_tok, done, caches = state
-        logits, _, new_caches = one_step(prev_tok, caches, step, False)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tok = jnp.where(done, cfg.pad_token_id, tok)
-        new_done = done | (tok == cfg.eos_token_id)
-        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, step))
-        return step + 1, tokens, tok, new_done, new_caches
-
     if steps > 1:
-        _, tokens, _, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), tokens0, tok0, done0, caches)
-        )
+        if early_exit:
+            # lax.while_loop exiting once every row emitted EOS (answers are
+            # 1-5 tokens vs max_length 50). NOTE: on the axon-tunneled backend
+            # dynamic-trip-count loops appear to be host-interpreted
+            # (measured 2.3 s/step vs 70 ms/step under scan), so this is
+            # opt-in; on real TPU runtimes it cuts eval decode ~10x.
+            tokens0 = jnp.full((B, steps), cfg.pad_token_id, jnp.int32)
+            tokens0 = tokens0.at[:, 0].set(tok0)
+
+            def cond(state):
+                step, tokens, prev_tok, done, caches_ = state
+                return (step < steps) & ~jnp.all(done)
+
+            def body(state):
+                step, tokens, prev_tok, done, caches_ = state
+                logits, _, new_caches = one_step(prev_tok, caches_, step, False)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = jnp.where(done, cfg.pad_token_id, tok)
+                new_done = done | (tok == cfg.eos_token_id)
+                tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None],
+                                                      (0, step))
+                return step + 1, tokens, tok, new_done, new_caches
+
+            _, tokens, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(1), tokens0, tok0, done0, caches)
+            )
+        else:
+            def scan_body(carry, step):
+                prev_tok, done, caches_ = carry
+                logits, _, new_caches = one_step(prev_tok, caches_, step, False)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = jnp.where(done, cfg.pad_token_id, tok)
+                new_done = done | (tok == cfg.eos_token_id)
+                return (tok, new_done, new_caches), tok
+
+            (_, _, _), rest = jax.lax.scan(
+                scan_body, (tok0, done0, caches),
+                jnp.arange(1, steps, dtype=jnp.int32),
+            )
+            tokens = jnp.concatenate([tok0[:, None], rest.swapaxes(0, 1)], axis=1)
     else:
-        tokens = tokens0
+        tokens = tok0[:, None]
     return tokens, xl0
 
 
 def make_generate_fn(
-    model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False
+    model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False,
+    early_exit: bool = False,
 ) -> Callable:
     """Jit-compiled (params, input_ids, mask) → (tokens, cross_logits|None)."""
 
@@ -125,6 +145,7 @@ def make_generate_fn(
         return greedy_generate(
             model, params, input_ids, mask,
             max_length=max_length, collect_cross_scores=collect_cross_scores,
+            early_exit=early_exit,
         )
 
     return fn
