@@ -200,6 +200,54 @@ def cmd_prep_answers(args):
     print(json.dumps({"answers": len(ans2label), "examples": len(targets)}))
 
 
+def cmd_serve(args):
+    """Load reader (+ optional retriever/index) and serve POST /answer."""
+    import jax
+    import jax.numpy as jnp
+
+    from lako_tpu.core.checkpoint import load_checkpoint
+    from lako_tpu.models.t5 import FiDT5
+    from lako_tpu.serve import LakoService, ServiceConfig, run_http_server
+
+    cfg = _load_cfg(ReaderTrainConfig, args.config)
+    tok = _tokenizer(args.tokenizer)
+    t5_cfg = _t5_cfg(args, tok) or __import__(
+        "lako_tpu.core.config", fromlist=["t5_config_for_size"]
+    ).t5_config_for_size(cfg.model_size, vocab_size=tok.vocab_size)
+    model = FiDT5(t5_cfg)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.data.n_passages, cfg.data.text_maxlength), jnp.int32),
+        jnp.ones((1, cfg.data.n_passages, cfg.data.text_maxlength), bool),
+        jnp.zeros((1, cfg.data.answer_maxlength), jnp.int32),
+    )["params"]
+    params, _, _ = load_checkpoint(args.model_path, template)
+
+    retriever = retriever_params = btok = index = None
+    id_to_sentence = None
+    if args.retriever_path and args.index and args.corpus:
+        from lako_tpu.pipeline.stages import _load_retriever
+        from lako_tpu.retrieval.index import DenseIndex
+
+        rt_cfg = _load_cfg(RetrieverTrainConfig, args.retriever_config).retriever
+        retriever, retriever_params = _load_retriever(rt_cfg, args.retriever_path)
+        btok = _tokenizer(args.bert_tokenizer, style="bert")
+        index = DenseIndex.load(args.index)
+        corpus = json.loads(Path(args.corpus).read_text())
+        id_to_sentence = {int(r["id"]): r["sentence"] for r in corpus}
+
+    service = LakoService(
+        ServiceConfig(batch_size=args.batch_size, max_length=cfg.eval_max_length,
+                      n_context=cfg.data.n_context, data=cfg.data,
+                      dtype=cfg.dtype, num_beams=args.num_beams),
+        t5_cfg, params, tok,
+        retriever=retriever, retriever_params=retriever_params,
+        bert_tokenizer=btok, index=index, id_to_sentence=id_to_sentence,
+    )
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}/answer"}))
+    run_http_server(service, args.host, args.port)
+
+
 def cmd_truncate_data(args):
     """Keep the first K examples (reference deal_vqa.py:1-28)."""
     from lako_tpu.data.prompt import truncate_dataset
@@ -336,6 +384,22 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--split", default="train")
     t.add_argument("--out-dir", required=True)
     t.set_defaults(fn=cmd_prep_answers)
+
+    t = sub.add_parser("serve", help="HTTP QA service: retrieve + read")
+    t.add_argument("--config")
+    t.add_argument("--t5-config")
+    t.add_argument("--model-path", required=True)
+    t.add_argument("--tokenizer", required=True)
+    t.add_argument("--retriever-config")
+    t.add_argument("--retriever-path")
+    t.add_argument("--bert-tokenizer")
+    t.add_argument("--index")
+    t.add_argument("--corpus")
+    t.add_argument("--host", default="127.0.0.1")
+    t.add_argument("--port", type=int, default=8080)
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--num-beams", type=int, default=1)
+    t.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("truncate-data", help="keep the first K examples of a JSON dataset")
     t.add_argument("--data", required=True)

@@ -1,0 +1,182 @@
+"""Serving: an end-to-end knowledge-based QA service.
+
+The reference has no serving layer (SURVEY.md §1); this provides one for
+production use of the trained pipeline: load reader + retriever + fact index
+once, then ``answer()`` runs retrieve → pack → FiD decode in fixed-shape jitted
+calls. Requests are padded into the compiled batch size, so any request rate
+hits the same two executables. A stdlib HTTP endpoint (`lako serve`) wraps it.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lako_tpu.core.config import (
+    ReaderDataConfig,
+    RetrieverConfig,
+    T5Config,
+)
+from lako_tpu.data import ReaderCollator, ReaderDataset
+from lako_tpu.models.retriever import Retriever
+from lako_tpu.models.t5 import FiDT5
+from lako_tpu.models.t5.decode import make_generate_fn
+
+
+@dataclass
+class ServiceConfig:
+    batch_size: int = 8
+    max_length: int = 50
+    n_context: int = 10
+    data: ReaderDataConfig = field(default_factory=ReaderDataConfig)
+    dtype: str = "bfloat16"
+    num_beams: int = 1
+
+
+class LakoService:
+    def __init__(
+        self,
+        cfg: ServiceConfig,
+        t5_config: T5Config,
+        reader_params,
+        tokenizer,
+        retriever: Optional[Retriever] = None,
+        retriever_params=None,
+        bert_tokenizer=None,
+        index=None,                      # DenseIndex / PQIndex / NativeIndex
+        id_to_sentence: Optional[Dict[int, str]] = None,
+    ):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.model = FiDT5(t5_config, dtype=dtype)
+        self.params = reader_params
+        self.tokenizer = tokenizer
+        self.collator = ReaderCollator(cfg.data, tokenizer)
+        if cfg.num_beams > 1:
+            from lako_tpu.models.t5.beam import make_beam_generate_fn
+
+            beam = make_beam_generate_fn(self.model, max_length=cfg.max_length,
+                                         num_beams=cfg.num_beams)
+            self._generate = lambda p, i, m: (beam(p, i, m), None)
+        else:
+            self._generate = make_generate_fn(self.model, max_length=cfg.max_length)
+
+        self.retriever = retriever
+        self.retriever_params = retriever_params
+        self.bert_tokenizer = bert_tokenizer
+        self.index = index
+        self.id_to_sentence = id_to_sentence or {}
+        if retriever is not None:
+            from lako_tpu.retrieval.embed import make_embed_fn
+
+            self._embed_q = make_embed_fn(retriever, "q")
+
+    # -- retrieval -----------------------------------------------------------
+
+    def retrieve_facts(self, questions: Sequence[dict]) -> List[List[dict]]:
+        """questions: [{question, caption}] → per-question fact lists."""
+        if self.index is None or self.retriever is None:
+            return [[] for _ in questions]
+        texts = [q["question"] + " " + q.get("caption", "") for q in questions]
+        ids, mask = self.bert_tokenizer.batch_encode(texts, 130)
+        emb = np.asarray(self._embed_q(self.retriever_params, jnp.asarray(ids),
+                                       jnp.asarray(mask)), np.float32)
+        top_ids, scores = self.index.search(emb, k=self.cfg.n_context)
+        out = []
+        for row_ids, row_scores in zip(top_ids, scores):
+            out.append([
+                {"sentence": self.id_to_sentence.get(int(i), ""), "id": int(i),
+                 "score": float(s)}
+                for i, s in zip(row_ids, row_scores)
+            ])
+        return out
+
+    # -- reading -------------------------------------------------------------
+
+    def answer_batch(self, requests: Sequence[dict]) -> List[dict]:
+        """requests: [{question, caption, fact?: [{sentence, id, score?}]}].
+        Facts are retrieved for requests that don't carry their own."""
+        requests = list(requests)
+        need = [i for i, r in enumerate(requests) if not r.get("fact")]
+        if need:
+            retrieved = self.retrieve_facts([requests[i] for i in need])
+            for i, facts in zip(need, retrieved):
+                requests[i] = dict(requests[i], fact=facts)
+
+        examples = [{
+            "question": r["question"],
+            "caption": r.get("caption", ""),
+            "answer": {},
+            "img_id": r.get("img_id", ""),
+            "fact": r.get("fact", []),
+            "target": None,
+        } for r in requests]
+        # empty fact lists break use_fact packing; degrade gracefully
+        data_cfg = self.cfg.data
+        if any(not e["fact"] for e in examples):
+            data_cfg = data_cfg.replace(use_fact=False)
+        ds = ReaderDataset(examples, data_cfg)
+        collator = ReaderCollator(data_cfg, self.tokenizer)
+
+        results: List[dict] = []
+        B = self.cfg.batch_size
+        for s in range(0, len(examples), B):
+            chunk = [ds[i] for i in range(s, min(s + B, len(examples)))]
+            batch = collator(chunk, pad_to=B)
+            tokens, _ = self._generate(self.params,
+                                       jnp.asarray(batch.passage_ids),
+                                       jnp.asarray(batch.passage_mask))
+            decoded = self.tokenizer.batch_decode(np.asarray(tokens))
+            for k, item in enumerate(chunk):
+                results.append({
+                    "answer": decoded[k],
+                    "facts": examples[s + k]["fact"][: self.cfg.n_context],
+                })
+        return results
+
+    def answer(self, question: str, caption: str = "",
+               facts: Optional[List[dict]] = None) -> dict:
+        req = {"question": question, "caption": caption}
+        if facts:
+            req["fact"] = facts
+        return self.answer_batch([req])[0]
+
+
+def run_http_server(service: LakoService, host: str = "127.0.0.1",
+                    port: int = 8080) -> None:
+    """Minimal stdlib HTTP endpoint: POST /answer {question, caption, fact?}."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/answer":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length))
+                if isinstance(payload, dict):
+                    payload = [payload]
+                out = service.answer_batch(payload)
+            except Exception as e:  # noqa: BLE001 — report to client
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"error": str(e)}).encode())
+                return
+            body = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    HTTPServer((host, port), Handler).serve_forever()
