@@ -10,10 +10,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Optional, Tuple
-
-import jax
-
+from typing import Any, Tuple
 
 def _checkpointer(use_async: bool):
     import orbax.checkpoint as ocp

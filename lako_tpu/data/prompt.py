@@ -9,7 +9,7 @@ Implemented as pure transforms over cache-format rows ({sent, label, ...}).
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 SEP = "[SEP]"
 

@@ -10,8 +10,6 @@ lax.scan over static shapes with KV caches gathered along the beam axis.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

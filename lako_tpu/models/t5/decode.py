@@ -14,7 +14,6 @@ logits.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -15,7 +15,6 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from flax.core import FrozenDict
 
 from lako_tpu.core.config import T5Config
 from lako_tpu.models.t5.layers import (

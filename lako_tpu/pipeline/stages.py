@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lako_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from lako_tpu.core.checkpoint import load_checkpoint
 from lako_tpu.core.config import (
     AttentionSignalConfig,
     ReaderDataConfig,

@@ -8,7 +8,7 @@ far; record the running value at each cut k ∈ hitk; once both metrics saturate
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, Sequence, Tuple
 
 from lako_tpu.text.metrics import includ_ems, stem_ems
 

@@ -7,7 +7,7 @@ mapping, comparative relations ``X#f`` → "is more X than" and ``X#r`` →
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Mapping, Sequence, Tuple
+from typing import Iterable, List, Mapping, Sequence, Tuple
 
 
 def relation_phrase(relation: str, relation2template: Mapping[str, str]) -> str:

@@ -23,7 +23,7 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -9,7 +9,6 @@ src/evaluation.py:200-229.
 
 from __future__ import annotations
 
-import heapq
 from concurrent.futures import ProcessPoolExecutor
 from typing import Dict, Iterable, List, Mapping, Sequence
 
