@@ -75,6 +75,18 @@ class T5Config(_ConfigBase):
     # Fuse encoder self-attention into a single Pallas kernel (TPU only; used
     # when attention-prob dropout is inactive). See lako_tpu/ops/flash_attention.
     use_flash_attention: bool = False
+    # FiDO-style decoder optimizations (arXiv 2212.08153; see PAPERS.md) for
+    # from-scratch training/serving — both change the architecture, so they are
+    # OFF for HF-checkpoint parity:
+    # cross-attend only in every k-th decoder layer (None/1 = every layer)
+    cross_attention_stride: Optional[int] = None
+    # share one K/V head across all query heads in decoder cross-attention
+    multiquery_cross_attention: bool = False
+
+    def has_cross_attention(self, layer_idx: int) -> bool:
+        stride = self.cross_attention_stride or 1
+        # keep the LAST layer's cross-attention (FiDO keeps the topmost)
+        return (self.num_decoder_layers - 1 - layer_idx) % stride == 0
 
     @property
     def d_inner(self) -> int:

@@ -111,14 +111,16 @@ class T5Attention(nn.Module):
 
     config: T5Config
     dtype: Any = jnp.float32
+    multiquery: bool = False  # FiDO-style: 1 shared K/V head (kv shape (B,1,K,d))
 
     def setup(self):
         cfg = self.config
         inner = cfg.num_heads * cfg.d_kv
+        kv_inner = cfg.d_kv if self.multiquery else inner
         # init matches T5: q absorbs the absent 1/sqrt(d_kv) attention scaling
         self.q = _dense(inner, self.dtype, "q", (cfg.d_model * cfg.d_kv) ** -0.5)
-        self.k = _dense(inner, self.dtype, "k", cfg.d_model ** -0.5)
-        self.v = _dense(inner, self.dtype, "v", cfg.d_model ** -0.5)
+        self.k = _dense(kv_inner, self.dtype, "k", cfg.d_model ** -0.5)
+        self.v = _dense(kv_inner, self.dtype, "v", cfg.d_model ** -0.5)
         self.o = _dense(cfg.d_model, self.dtype, "o", inner ** -0.5)
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
 
@@ -126,9 +128,26 @@ class T5Attention(nn.Module):
         b, l, _ = x.shape
         return x.reshape(b, l, self.config.num_heads, self.config.d_kv).transpose(0, 2, 1, 3)
 
+    def split_kv_heads(self, x: Array) -> Array:
+        b, l, _ = x.shape
+        h = 1 if self.multiquery else self.config.num_heads
+        return x.reshape(b, l, h, self.config.d_kv).transpose(0, 2, 1, 3)
+
     def merge_heads(self, x: Array) -> Array:
         b, h, l, d = x.shape
         return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    @staticmethod
+    def _qk(q: Array, k: Array) -> Array:
+        if k.shape[1] == q.shape[1]:
+            return jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        return jnp.einsum("bhqd,bkd->bhqk", q, k[:, 0])  # multiquery broadcast
+
+    @staticmethod
+    def _pv(probs: Array, v: Array) -> Array:
+        if v.shape[1] == probs.shape[1]:
+            return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return jnp.einsum("bhqk,bkd->bhqd", probs, v[:, 0])
 
     def __call__(
         self,
@@ -150,15 +169,15 @@ class T5Attention(nn.Module):
         if cache is not None and kv is None:
             # incremental self-attention: write this step's k/v into the cache
             ck, cv = cache
-            k_new = self.split_heads(self.k(hidden))
-            v_new = self.split_heads(self.v(hidden))
+            k_new = self.split_kv_heads(self.k(hidden))
+            v_new = self.split_kv_heads(self.v(hidden))
             ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype), (0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype), (0, 0, cache_index, 0))
             k, v = ck, cv
         else:
             source = hidden if kv is None else kv
-            k = self.split_heads(self.k(source))
-            v = self.split_heads(self.v(source))
+            k = self.split_kv_heads(self.k(source))
+            v = self.split_kv_heads(self.v(source))
 
         if (allow_fused and cfg.use_flash_attention and cache is None
                 and (deterministic or cfg.dropout_rate == 0.0)):
@@ -171,13 +190,13 @@ class T5Attention(nn.Module):
                 out = fused_attention(q, k, v, bias)
                 return self.o(self.merge_heads(out)), None, (k, v)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        logits = self._qk(q, k).astype(jnp.float32)
         if bias is not None:
             logits = logits + bias.astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         if not deterministic and cfg.dropout_rate > 0.0:
             probs = self.dropout(probs, deterministic=False)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = self._pv(probs, v)
         return self.o(self.merge_heads(out)), logits, (k, v)
 
     def attend_cached(self, hidden: Array, cross_kv: Tuple[Array, Array],
@@ -185,15 +204,15 @@ class T5Attention(nn.Module):
         """Cross-attention against precomputed K/V (incremental decode)."""
         q = self.split_heads(self.q(hidden))
         k, v = cross_kv
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        logits = self._qk(q, k).astype(jnp.float32)
         if bias is not None:
             logits = logits + bias.astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = self.o(self.merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v)))
+        out = self.o(self.merge_heads(self._pv(probs, v)))
         return out, logits
 
     def project_kv(self, enc: Array) -> Tuple[Array, Array]:
-        return self.split_heads(self.k(enc)), self.split_heads(self.v(enc))
+        return self.split_kv_heads(self.k(enc)), self.split_kv_heads(self.v(enc))
 
 
 class T5MLP(nn.Module):
@@ -252,13 +271,17 @@ class T5EncoderBlock(nn.Module):
 class T5DecoderBlock(nn.Module):
     config: T5Config
     dtype: Any = jnp.float32
+    has_cross: bool = True  # False under FiDO layer-sparse cross-attention
 
     def setup(self):
         cfg = self.config
         self.ln_self = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, self.dtype, name="ln_self")
         self.self_attn = T5Attention(cfg, self.dtype, name="self_attn")
-        self.ln_cross = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, self.dtype, name="ln_cross")
-        self.cross_attn = T5Attention(cfg, self.dtype, name="cross_attn")
+        if self.has_cross:
+            self.ln_cross = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, self.dtype, name="ln_cross")
+            self.cross_attn = T5Attention(cfg, self.dtype,
+                                          multiquery=cfg.multiquery_cross_attention,
+                                          name="cross_attn")
         self.ln_mlp = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, self.dtype, name="ln_mlp")
         self.mlp = T5MLP(cfg, self.dtype, name="mlp")
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
@@ -292,15 +315,18 @@ class T5DecoderBlock(nn.Module):
         )
         x = x + drop(h)
 
-        if cross_kv is not None:
+        if not self.has_cross:
+            cross_logits = None
+        elif cross_kv is not None:
             h, cross_logits = self.cross_attn.attend_cached(
                 self.ln_cross(x), cross_kv, cross_bias
             )
+            x = x + drop(h)
         else:
             h, cross_logits, _ = self.cross_attn(
                 self.ln_cross(x), kv=enc, bias=cross_bias, deterministic=deterministic
             )
-        x = x + drop(h)
+            x = x + drop(h)
 
         h = self.mlp(self.ln_mlp(x), deterministic=deterministic)
         return x + drop(h), cross_logits, new_self_cache

@@ -76,7 +76,8 @@ class T5Decoder(nn.Module):
         self.relpos = RelativePositionBias(cfg, bidirectional=False, dtype=self.dtype,
                                            name="relpos")
         self.blocks = [
-            T5DecoderBlock(cfg, self.dtype, name=f"block_{i}")
+            T5DecoderBlock(cfg, self.dtype, has_cross=cfg.has_cross_attention(i),
+                           name=f"block_{i}")
             for i in range(cfg.num_decoder_layers)
         ]
         self.final_ln = RMSNorm(cfg.d_model, cfg.layer_norm_epsilon, self.dtype,
@@ -110,7 +111,7 @@ class T5Decoder(nn.Module):
         cross_logits = []
         for block in self.blocks:
             x, xl, _ = block(x, enc, self_bias, cross_bias, deterministic=deterministic)
-            if collect_cross_logits:
+            if collect_cross_logits and xl is not None:
                 cross_logits.append(xl)
         x = self.final_ln(x)
         if not deterministic and cfg.dropout_rate > 0.0:
@@ -128,7 +129,8 @@ class T5Decoder(nn.Module):
         for block in self.blocks:
             zeros = jnp.zeros((batch, h, max_len, d), dtype=self.dtype)
             self_caches.append((zeros, zeros))
-            cross_kvs.append(block.cross_attn.project_kv(enc))
+            cross_kvs.append(block.cross_attn.project_kv(enc)
+                             if block.has_cross else None)
         return self_caches, cross_kvs
 
     def decode_step(
@@ -170,7 +172,7 @@ class T5Decoder(nn.Module):
                 cache_index=step,
             )
             new_caches.append(new_cache)
-            if collect_cross_logits:
+            if collect_cross_logits and xl is not None:
                 cross_logits.append(xl[:, :, 0, :])  # (B, heads, K)
         x = self.final_ln(x)
         stacked = jnp.stack(cross_logits, axis=1) if collect_cross_logits else None
