@@ -216,3 +216,43 @@ def test_prep_questions_cli(workdir, capsys):
     assert out["glove_matrix"][1] == 2
     assert (wd / "qprep" / "id2question.json").exists()
     assert (wd / "qprep" / "qs_dictionary.pkl").exists()
+
+
+@pytest.mark.slow
+def test_warm_start_reader_cli(tmp_path, capsys):
+    """The VQA2.0-pretrain -> OKVQA-retrain flow (run_okvqa_train.sh
+    --model_path): second training warm-starts from the first's checkpoint."""
+    wd = tmp_path
+    (wd / "train.json").write_text(json.dumps(make_examples(16, 2, 0)))
+    (wd / "eval.json").write_text(json.dumps(make_examples(8, 2, 5)))
+    t5_cfg = {"vocab_size": 64, "d_model": 32, "d_kv": 8, "d_ff": 64,
+              "num_layers": 1, "num_decoder_layers": 1, "num_heads": 2,
+              "relative_attention_num_buckets": 8, "dropout_rate": 0.0}
+    cfg = {"checkpoint_dir": str(wd / "ck"), "name": "pre",
+           "per_device_batch_size": 1, "eval_batch_size": 8, "epochs": 2,
+           "early_stop": 99, "eval_max_length": 4, "use_remat": False,
+           "dtype": "float32",
+           "data": {"n_context": 2, "text_maxlength": 20, "answer_maxlength": 4,
+                    "stream": 2},
+           "optim": {"optim": "adamw", "lr": 5e-3, "weight_decay": 0.0}}
+    (wd / "t5.json").write_text(json.dumps(t5_cfg))
+    (wd / "cfg.json").write_text(json.dumps(cfg))
+    cli_main(["build-tokenizer", "--from-json", str(wd / "train.json"),
+              "--out", str(wd / "tok.json")])
+    cli_main(["train-reader", "--config", str(wd / "cfg.json"),
+              "--t5-config", str(wd / "t5.json"),
+              "--train-data", str(wd / "train.json"),
+              "--eval-data", str(wd / "eval.json"),
+              "--tokenizer", str(wd / "tok.json")])
+    capsys.readouterr()
+    cfg2 = dict(cfg, name="retrain")
+    (wd / "cfg2.json").write_text(json.dumps(cfg2))
+    cli_main(["train-reader", "--config", str(wd / "cfg2.json"),
+              "--t5-config", str(wd / "t5.json"),
+              "--train-data", str(wd / "train.json"),
+              "--eval-data", str(wd / "eval.json"),
+              "--tokenizer", str(wd / "tok.json"),
+              "--model-path", str(wd / "ck" / "pre" / "checkpoint" / "last")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["steps"] == 4  # fresh optimizer (reset_params warm start)
+    assert (wd / "ck" / "retrain" / "checkpoint" / "last").exists()

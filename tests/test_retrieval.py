@@ -260,3 +260,34 @@ class TestPQIndex:
         pq2 = PQIndex.load(str(tmp_path / "pq"))
         ids2, _ = pq2.search(q, k=20)
         np.testing.assert_array_equal(ids_pq, ids2)
+
+
+class TestShardedIndex:
+    def test_matches_single_device(self):
+        import jax
+        from lako_tpu.core.config import MeshConfig
+        from lako_tpu.core.mesh import make_mesh
+        from lako_tpu.retrieval.index import ShardedDenseIndex
+
+        rng = np.random.default_rng(6)
+        emb = rng.normal(size=(1003, 16)).astype(np.float32)  # not divisible by 8
+        q = rng.normal(size=(9, 16)).astype(np.float32)
+        mesh = make_mesh(MeshConfig())
+        sharded = ShardedDenseIndex(emb, mesh)
+        ids_s, sc_s = sharded.search(q, k=7)
+        ids_d, sc_d = DenseIndex(emb).search(q, k=7)
+        np.testing.assert_array_equal(ids_s, ids_d)
+        np.testing.assert_allclose(sc_s, sc_d, rtol=1e-5)
+
+    def test_custom_ids(self):
+        from lako_tpu.core.config import MeshConfig
+        from lako_tpu.core.mesh import make_mesh
+        from lako_tpu.retrieval.index import ShardedDenseIndex
+
+        rng = np.random.default_rng(7)
+        emb = rng.normal(size=(64, 8)).astype(np.float32)
+        ids = np.arange(500, 564)
+        mesh = make_mesh(MeshConfig())
+        idx = ShardedDenseIndex(emb, mesh, ids=ids)
+        out_ids, _ = idx.search(rng.normal(size=(2, 8)).astype(np.float32), k=3)
+        assert out_ids.min() >= 500
