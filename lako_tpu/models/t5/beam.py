@@ -35,6 +35,7 @@ def beam_generate(
 ) -> Array:
     """Returns best sequences (B, max_length-1), padded after EOS."""
     from lako_tpu.models.t5.decode import (
+        _decode_biases,
         _decode_step,
         _embed_tokens,
         _encode,
@@ -54,11 +55,14 @@ def beam_generate(
     enc_mask = jnp.repeat(enc_mask, K, axis=0)
     self_caches, cross_kvs = model.apply(variables, B * K, steps, enc,
                                          method=_init_cache)
+    self_bias_full, cross_bias = model.apply(variables, enc_mask, steps,
+                                             method=_decode_biases)
 
     def step_logits(tokens_flat, caches, step):
         embeds = model.apply(variables, tokens_flat[:, None], method=_embed_tokens)
         hidden, _, new_caches = model.apply(
-            variables, embeds, enc_mask, caches, cross_kvs, step, steps, False,
+            variables, embeds, self_bias_full, cross_bias, caches, cross_kvs,
+            step, steps, False,
             method=_decode_step,
         )
         logits = model.apply(variables, hidden[:, 0], method=_logits)

@@ -40,12 +40,16 @@ def _init_cache(mdl: FiDT5, batch, max_len, enc):
     return mdl.t5.decoder.init_cache(batch, max_len, enc)
 
 
-def _decode_step(mdl: FiDT5, embeds, enc_mask, self_caches, cross_kvs, step,
-                 max_len, collect):
+def _decode_step(mdl: FiDT5, embeds, self_bias_full, cross_bias, self_caches,
+                 cross_kvs, step, max_len, collect):
     return mdl.t5.decoder.decode_step(
-        embeds, enc_mask, self_caches, cross_kvs, step, max_len,
-        collect_cross_logits=collect,
+        embeds, self_bias_full, cross_bias, self_caches, cross_kvs, step,
+        max_len, collect_cross_logits=collect,
     )
+
+
+def _decode_biases(mdl: FiDT5, enc_mask, max_len):
+    return mdl.t5.decoder.decode_biases(enc_mask, max_len)
 
 
 def greedy_generate(
@@ -70,11 +74,14 @@ def greedy_generate(
 
     enc, enc_mask = model.apply(variables, input_ids, mask, method=_encode)
     self_caches, cross_kvs = model.apply(variables, B, steps, enc, method=_init_cache)
+    self_bias_full, cross_bias = model.apply(variables, enc_mask, steps,
+                                             method=_decode_biases)
 
     def one_step(tokens, caches, step, collect):
         embeds = model.apply(variables, tokens[:, None], method=_embed_tokens)
         hidden, xl, new_caches = model.apply(
-            variables, embeds, enc_mask, caches, cross_kvs, step, steps, collect,
+            variables, embeds, self_bias_full, cross_bias, caches, cross_kvs,
+            step, steps, collect,
             method=_decode_step,
         )
         logits = model.apply(variables, hidden[:, 0], method=_logits)

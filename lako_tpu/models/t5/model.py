@@ -133,10 +133,17 @@ class T5Decoder(nn.Module):
                              if block.has_cross else None)
         return self_caches, cross_kvs
 
+    def decode_biases(self, enc_mask: Array, max_len: int):
+        """Loop-invariant decode inputs, computed once per generate call:
+        full (1, h, max_len, max_len) self-attention relpos bias and the
+        cross-attention key-mask bias."""
+        return self.relpos(max_len, max_len), mask_to_bias(enc_mask)
+
     def decode_step(
         self,
         embeds: Array,
-        enc_mask: Array,
+        self_bias_full: Array,
+        cross_bias: Array,
         self_caches,
         cross_kvs,
         step: Array,
@@ -145,21 +152,15 @@ class T5Decoder(nn.Module):
         collect_cross_logits: bool = False,
     ):
         """One incremental step. embeds: (B, 1, H). step: scalar int index.
+        self_bias_full / cross_bias come from :meth:`decode_biases` (hoisted out
+        of the token loop — loop-invariant work stays out of the scan body).
 
         Returns (hidden (B,1,H), cross_logits (B,layers,heads,K)|None, new_caches).
         """
         cfg = self.config
-        # Relative bias for query position `step` against all cache positions:
-        # compute for the full (max_len, max_len) once would be wasteful per step;
-        # instead compute one row via offset. Mask out not-yet-written positions.
-        self_bias = jax.lax.dynamic_slice(
-            self.relpos(max_len, max_len), (0, 0, 0, 0),
-            (1, cfg.num_heads, max_len, max_len),
-        )
-        row = jax.lax.dynamic_slice_in_dim(self_bias, step, 1, axis=2)  # (1,h,1,K)
+        row = jax.lax.dynamic_slice_in_dim(self_bias_full, step, 1, axis=2)  # (1,h,1,K)
         valid = (jnp.arange(max_len) <= step)[None, None, None, :]
         row = jnp.where(valid, row, NEG_INF)
-        cross_bias = mask_to_bias(enc_mask)
         x = embeds
         new_caches = []
         cross_logits = []
