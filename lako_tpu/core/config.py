@@ -180,6 +180,10 @@ class ReaderDataConfig(_ConfigBase):
     """
 
     n_context: int = 10
+    # PERF: 130 matches the reference, but is lane-misaligned on TPU (pads to
+    # 256 inside attention). Measured on v5e: t5-large train steps are ~27%
+    # faster at 128 (75.5 vs 95.5 ms/step, controlled A/B/A). Prefer 128 unless
+    # matching reference runs exactly.
     text_maxlength: int = 130
     answer_maxlength: int = 20
     stream: int = 2
