@@ -21,6 +21,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lako_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from lako_tpu.core.config import OptimConfig, t5_config_for_size
     from lako_tpu.models.t5 import FiDT5
     from lako_tpu.train.optim import make_optimizer

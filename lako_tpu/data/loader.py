@@ -51,23 +51,59 @@ def batch_iterator(
     seed: int = 0,
     drop_last: bool = False,
     pad_final: bool = True,
+    prefetch: int = 0,
 ) -> Iterator:
     """Yield collated fixed-shape batches.
 
     Train: shuffle + drop_last (reference RandomSampler path, train_reader.py:40-48).
     Eval: sequential; the final partial batch is padded to full size with
     ``valid=False`` rows so the jitted step never recompiles.
+    prefetch > 0 runs collation on a background thread with a bounded queue, so
+    host tokenization overlaps device compute (the role of the reference's
+    DataLoader num_workers, train_reader.py:46).
     """
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    for start in range(0, n, batch_size):
-        idx = order[start : start + batch_size]
-        if len(idx) < batch_size:
-            if drop_last:
-                return
-            if not pad_final:
-                yield collate([dataset[int(i)] for i in idx])
-                continue
-        yield collate([dataset[int(i)] for i in idx], pad_to=batch_size)
+
+    def produce() -> Iterator:
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size:
+                if drop_last:
+                    return
+                if not pad_final:
+                    yield collate([dataset[int(i)] for i in idx])
+                    continue
+            yield collate([dataset[int(i)] for i in idx], pad_to=batch_size)
+
+    if prefetch <= 0:
+        yield from produce()
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+    err: list = []
+
+    def worker():
+        try:
+            for batch in produce():
+                q.put(batch)
+        except BaseException as e:  # surface worker errors to the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item

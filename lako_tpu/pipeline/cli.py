@@ -432,8 +432,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from lako_tpu.core.cache import enable_compilation_cache
+
     args = build_parser().parse_args(argv)
     init_logger()
+    enable_compilation_cache()
     args.fn(args)
 
 

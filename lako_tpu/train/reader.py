@@ -173,7 +173,7 @@ def train_reader(
         losses = []
         for batch in batch_iterator(
             train_ds, global_batch, collator,
-            shuffle=True, seed=cfg.seed + epoch, drop_last=True,
+            shuffle=True, seed=cfg.seed + epoch, drop_last=True, prefetch=2,
         ):
             sharded = shard_batch(mesh, {
                 "ids": batch.passage_ids, "mask": batch.passage_mask,

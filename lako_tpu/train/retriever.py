@@ -162,7 +162,7 @@ def train_retriever(
         losses = []
         for batch in batch_iterator(train_ds, global_batch, collator,
                                     shuffle=True, seed=cfg.seed + epoch,
-                                    drop_last=True):
+                                    drop_last=True, prefetch=2):
             sharded = shard_batch(mesh, {
                 "q_ids": batch.question_ids, "q_mask": batch.question_mask,
                 "p_ids": batch.passage_ids, "p_mask": batch.passage_mask,

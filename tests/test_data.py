@@ -160,3 +160,30 @@ class TestSeparateFacts:
         # N = 1 question+caption passage + n_context fact passages
         assert batch.passage_ids.shape == (1, 1 + 4, 24)
         assert batch.passage_mask[0, 1].sum() > 0
+
+
+class TestPrefetch:
+    def test_prefetch_matches_sync(self, examples, tok):
+        cfg = make_cfg()
+        ds = ReaderDataset(examples, cfg)
+        col = ReaderCollator(cfg, tok)
+        sync = list(batch_iterator(ds, 4, col, shuffle=True, seed=3))
+        pre = list(batch_iterator(ds, 4, col, shuffle=True, seed=3, prefetch=2))
+        assert len(sync) == len(pre)
+        for a, b in zip(sync, pre):
+            np.testing.assert_array_equal(a.passage_ids, b.passage_ids)
+            np.testing.assert_array_equal(a.labels, b.labels)
+
+    def test_prefetch_propagates_errors(self, tok):
+        cfg = make_cfg()
+
+        class Boom:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        col = ReaderCollator(cfg, tok)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(batch_iterator(Boom(), 4, col, prefetch=2))
