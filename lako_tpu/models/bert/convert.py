@@ -54,6 +54,39 @@ def params_from_torch_bert(state_dict: Mapping, config: BertConfig,
     return params
 
 
+def retriever_params_from_torch_bert(state_dict: Mapping, retriever_config,
+                                     rng_seed: int = 0) -> Dict[str, Any]:
+    """Build :class:`lako_tpu.models.retriever.Retriever` params from an HF
+    ``BertModel`` state_dict: BERT backbone converted, projection head(s)
+    freshly initialized (the reference's ``initialize_wBERT=True`` path,
+    src/model.py:380-394 — pretrained BERT + new proj/LayerNorm)."""
+    import numpy as np
+
+    cfg = retriever_config
+    rng = np.random.default_rng(rng_seed)
+    hidden, dim = cfg.bert.hidden_size, cfg.indexing_dimension
+    params: Dict[str, Any] = {
+        "bert": params_from_torch_bert(state_dict, cfg.bert)
+    }
+
+    def _head():
+        return {
+            "kernel": rng.normal(scale=0.02, size=(hidden, dim)).astype(np.float32),
+            "bias": np.zeros(dim, np.float32),
+        }
+
+    def _norm():
+        return {"scale": np.ones(dim, np.float32), "bias": np.zeros(dim, np.float32)}
+
+    if cfg.projection:
+        params["proj"] = _head()
+        params["norm"] = _norm()
+    elif cfg.asymmetric:
+        params["proj_iq"], params["proj_fact"] = _head(), _head()
+        params["norm_iq"], params["norm_fact"] = _norm(), _norm()
+    return params
+
+
 def bert_config_from_hf(hf_config) -> BertConfig:
     return BertConfig(
         vocab_size=hf_config.vocab_size,

@@ -149,3 +149,36 @@ def test_retriever_distillation_overfits():
     _, _, score, _ = model.apply({"params": params}, *args)
     pred = np.asarray(jnp.argmax(score, axis=-1))
     assert (pred == gold_pos).mean() >= 0.75, (pred, gold_pos)
+
+
+def test_retriever_init_from_hf_bert(torch_bert):
+    """The reference's initialize_wBERT path: pretrained BERT backbone +
+    fresh projection head."""
+    from lako_tpu.models.bert.convert import (
+        bert_config_from_hf,
+        retriever_params_from_torch_bert,
+    )
+
+    model_t, hf_cfg = torch_bert
+    rcfg = RetrieverConfig(bert=bert_config_from_hf(hf_cfg), indexing_dimension=32)
+    params = retriever_params_from_torch_bert(model_t.state_dict(), rcfg)
+    retr = Retriever(rcfg)
+    rs = np.random.default_rng(8)
+    q_ids = rs.integers(0, 200, size=(2, 8)).astype(np.int32)
+    q_mask = np.ones((2, 8), dtype=bool)
+    p_ids = rs.integers(0, 200, size=(2, 3, 6)).astype(np.int32)
+    p_mask = np.ones((2, 3, 6), dtype=bool)
+    q_emb, p_emb, score, _ = retr.apply(
+        {"params": params}, jnp.asarray(q_ids), jnp.asarray(q_mask),
+        jnp.asarray(p_ids), jnp.asarray(p_mask))
+    assert q_emb.shape == (2, 32) and score.shape == (2, 3)
+    # backbone genuinely came from the torch model: hidden states match
+    from lako_tpu.models.bert import BertEncoder
+
+    our_h = BertEncoder(rcfg.bert).apply(
+        {"params": params["bert"]}, jnp.asarray(q_ids), jnp.asarray(q_mask))
+    with torch.no_grad():
+        ref_h = model_t(input_ids=torch.tensor(q_ids, dtype=torch.long),
+                        attention_mask=torch.tensor(q_mask, dtype=torch.long),
+                        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(our_h), ref_h, atol=2e-4, rtol=2e-3)
