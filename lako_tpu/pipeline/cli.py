@@ -83,7 +83,8 @@ def cmd_train_reader(args):
     tok = _tokenizer(args.tokenizer)
     out = train_reader_stage(cfg, args.train_data, args.eval_data, tok,
                              t5_config=_t5_cfg(args, tok),
-                             init_params_path=args.model_path)
+                             init_params_path=args.model_path,
+                             maxload=args.maxload)
     print(json.dumps(out))
 
 
@@ -313,6 +314,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--eval-data", required=True)
     t.add_argument("--tokenizer", required=True)
     t.add_argument("--model-path", help="warm-start checkpoint dir")
+    t.add_argument("--maxload", type=int, default=-1,
+                   help="small-data mode: cap loaded examples (reference --tiny/--fast role)")
     t.set_defaults(fn=cmd_train_reader)
 
     t = sub.add_parser("eval-reader", help="evaluate reader / write attention scores")

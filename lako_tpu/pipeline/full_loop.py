@@ -100,9 +100,10 @@ def run_full_loop(args) -> Dict[str, Any]:
                      [train_data, eval_data], [new_train, new_eval], btok)
 
         # 6. retrieval quality
-        fact_metrics = eval_facts_stage(new_eval,
-                                        hitk=[k for k in (1, 2, 5, 10, 20, 50)
-                                              if k <= reader_cfg.data.n_context * 50])
+        n_facts_available = max(reader_cfg.data.n_context, 1)
+        fact_metrics = eval_facts_stage(
+            new_eval, hitk=[k for k in (1, 2, 5, 10, 20, 50, 100, 200, 500)
+                            if k <= max(n_facts_available, 5)] or [1])
 
         history.append({
             "iteration": version,

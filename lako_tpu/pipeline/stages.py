@@ -71,9 +71,13 @@ def train_reader_stage(
     tokenizer,
     t5_config: Optional[T5Config] = None,
     init_params_path: Optional[str] = None,
+    maxload: int = -1,
 ) -> Dict[str, Any]:
     train_examples = _load_json(train_data)
     eval_examples = _load_json(eval_data)
+    if maxload > 0:  # small-data mode (reference data_process --tiny/--fast)
+        train_examples = train_examples[:maxload]
+        eval_examples = eval_examples[:maxload]
     t5_cfg = t5_config or t5_config_for_size(cfg.model_size,
                                              vocab_size=tokenizer.vocab_size)
     init_params = None
