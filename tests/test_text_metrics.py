@@ -125,3 +125,15 @@ class TestRankingMetrics:
         assert inversions == [0, 6]
         assert avg_topk[2] == [1.0, 0.0]
         assert idx_topk[2] == [2, 4]
+
+
+class TestMultiprocessMatches:
+    def test_calculate_matches_parallel_equals_serial(self):
+        data = [
+            {"answers": ["dog"], "ctxs": [{"text": "a cat"}, {"text": "a dog"}]},
+            {"answers": ["cat", "dog"], "ctxs": [{"text": "cat!"}, {"text": "x"}]},
+            {"answers": ["fish"], "ctxs": [{"text": "cat"}, {"text": "dog"}]},
+        ] * 4
+        serial = calculate_matches(data, workers_num=1)
+        parallel = calculate_matches(data, workers_num=3)
+        assert serial == parallel
