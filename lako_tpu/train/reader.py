@@ -10,6 +10,7 @@ the epoch.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -34,7 +35,10 @@ from lako_tpu.train.state import TrainState
 def make_reader_train_step(model: FiDT5) -> Callable:
     """Jitted (state, ids, mask, labels, rng) → (state, loss)."""
 
-    @jax.jit
+    # donate the incoming state: halves train-state HBM (old+new buffers
+    # never coexist) — at t5-large this is the difference between batch 32
+    # fitting or OOMing on a 16 GB chip
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, ids, mask, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
 

@@ -9,6 +9,7 @@ score descending.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -29,7 +30,10 @@ from lako_tpu.train.state import TrainState
 
 
 def make_retriever_train_step(model: Retriever) -> Callable:
-    @jax.jit
+    # donate the incoming state: halves train-state HBM (old+new buffers
+    # never coexist) — at t5-large this is the difference between batch 32
+    # fitting or OOMing on a 16 GB chip
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, q_ids, q_mask, p_ids, p_mask, gold, rng):
         rng = jax.random.fold_in(rng, state.step)
 
