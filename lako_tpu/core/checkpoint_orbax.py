@@ -52,9 +52,13 @@ class OrbaxCheckpointManager:
             template["opt_state"] = opt_state_template
         import orbax.checkpoint as ocp
 
-        restored = self._ckptr.restore(
-            path / "state", args=ocp.args.StandardRestore(template)
-        )
+        try:
+            restored = self._ckptr.restore(
+                path / "state", args=ocp.args.StandardRestore(template)
+            )
+        except TypeError:
+            # StandardCheckpointer takes the target positionally
+            restored = self._ckptr.restore(path / "state", template)
         meta = {}
         if (path / "meta.json").exists():
             meta = json.loads((path / "meta.json").read_text())
