@@ -78,7 +78,7 @@ class CandidateMiner:
         for i in cand:
             fact[self.four_tuple[i][3]] = i
         docs = list(fact.keys())
-        bm25 = BM25Okapi([d.split(" ") for d in docs])
+        doc_tokens = [d.split(" ") for d in docs]
 
         # dedup caption words for the BM25 query (vqa2_deal.py:118-122)
         caption_words = list(dict.fromkeys(
@@ -89,8 +89,26 @@ class CandidateMiner:
         query = query_sentence.split(" ")
 
         n = min(k, len(docs))
-        top = bm25.get_top_n(query, docs, n=n)
+        top = self._bm25_top_n(doc_tokens, query, docs, n)
         return [{"sentence": d + ".", "id": fact[d]} for d in top]
+
+    @staticmethod
+    def _bm25_top_n(doc_tokens, query, docs, n):
+        """C++ BM25 when available (the mining hot loop), Python otherwise."""
+        try:
+            from lako_tpu.retrieval.native import bm25_topn_native, native_available
+
+            if native_available():
+                vocab: Dict[str, int] = {}
+                def ids(ws):
+                    return [vocab.setdefault(w, len(vocab)) for w in ws]
+                doc_ids = [ids(d) for d in doc_tokens]
+                q_ids = [vocab[w] for w in query if w in vocab]
+                idx = bm25_topn_native(doc_ids, q_ids, n)
+                return [docs[i] for i in idx]
+        except Exception:
+            pass
+        return BM25Okapi(doc_tokens).get_top_n(query, docs, n=n)
 
     def mine_dataset(
         self,

@@ -48,8 +48,44 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
+    lib.lako_bm25_topn.restype = ctypes.c_longlong
+    lib.lako_bm25_topn.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
     _lib = lib
     return lib
+
+
+def bm25_topn_native(
+    docs_tokens: "list[list[int]]",
+    query_tokens: "list[int]",
+    n: int,
+    k1: float = 1.5,
+    b: float = 0.75,
+    epsilon: float = 0.25,
+) -> np.ndarray:
+    """BM25Okapi top-n doc indices via the C++ engine (formula-identical to
+    lako_tpu.retrieval.bm25.BM25Okapi; the candidate-mining hot loop,
+    reference vqa2_deal.py:124-135)."""
+    lib = _load()
+    offsets = np.zeros(len(docs_tokens) + 1, dtype=np.int64)
+    for i, d in enumerate(docs_tokens):
+        offsets[i + 1] = offsets[i] + len(d)
+    flat = np.fromiter((t for d in docs_tokens for t in d), dtype=np.int64,
+                       count=int(offsets[-1]))
+    q = np.asarray(query_tokens, dtype=np.int64)
+    out = np.empty(min(n, len(docs_tokens)), dtype=np.int64)
+    wrote = lib.lako_bm25_topn(
+        _iptr(flat), _iptr(offsets), len(docs_tokens),
+        _iptr(q), len(q), k1, b, epsilon, _iptr(out), len(out),
+    )
+    if wrote < 0:
+        raise RuntimeError("lako_bm25_topn failed")
+    return out[:wrote]
 
 
 def native_available() -> bool:

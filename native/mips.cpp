@@ -144,3 +144,89 @@ int lako_mips_rerank(const float* corpus, int64_t n, int64_t d,
   return 0;
 }
 }
+
+// ---------------------------------------------------------------------------
+// BM25-Okapi scoring over tokenized candidate documents (int token ids).
+//
+// The offline candidate-mining stage builds a BM25 index per question over its
+// candidate facts (reference vqa2_deal.py:124-135); this is the CPU hot loop of
+// preprocessing. Working on int ids (Python maps tokens <-> ids once per call)
+// keeps the formulas bit-identical to lako_tpu/retrieval/bm25.py.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <unordered_map>
+
+extern "C" {
+
+// doc_tokens: concatenated token ids; doc_offsets: (n_docs+1) prefix offsets.
+// query: qlen token ids. Writes the top-n doc indices (score-descending, ties
+// by lower index like np.argsort(stable reversed)) into out_idx. Returns the
+// number written (min(n, n_docs)) or -1 on bad input.
+long long lako_bm25_topn(const long long* doc_tokens,
+                         const long long* doc_offsets, long long n_docs,
+                         const long long* query, long long qlen, double k1,
+                         double b, double epsilon, long long* out_idx,
+                         long long n) {
+  if (n_docs <= 0 || qlen < 0 || n <= 0) return -1;
+
+  std::vector<double> doc_len(n_docs);
+  double total_len = 0.0;
+  // term -> per-doc frequency postings
+  std::unordered_map<long long, std::vector<std::pair<long long, double>>>
+      postings;
+  std::unordered_map<long long, long long> df;
+  for (long long d = 0; d < n_docs; ++d) {
+    long long beg = doc_offsets[d], end = doc_offsets[d + 1];
+    doc_len[d] = (double)(end - beg);
+    total_len += doc_len[d];
+    std::unordered_map<long long, double> freq;
+    for (long long t = beg; t < end; ++t) freq[doc_tokens[t]] += 1.0;
+    for (auto& kv : freq) {
+      postings[kv.first].push_back({d, kv.second});
+      df[kv.first] += 1;
+    }
+  }
+  double avgdl = total_len / (double)n_docs;
+
+  // BM25Okapi idf with epsilon floor on negative values
+  std::unordered_map<long long, double> idf;
+  double idf_sum = 0.0;
+  std::vector<long long> negative;
+  for (auto& kv : df) {
+    double v = std::log((double)n_docs - (double)kv.second + 0.5) -
+               std::log((double)kv.second + 0.5);
+    idf[kv.first] = v;
+    idf_sum += v;
+    if (v < 0) negative.push_back(kv.first);
+  }
+  double avg_idf = idf.empty() ? 0.0 : idf_sum / (double)idf.size();
+  for (long long w : negative) idf[w] = epsilon * avg_idf;
+
+  std::vector<double> score(n_docs, 0.0);
+  for (long long qi = 0; qi < qlen; ++qi) {
+    auto it = postings.find(query[qi]);
+    if (it == postings.end()) continue;
+    double w = idf[query[qi]];
+    for (auto& p : it->second) {
+      double f = p.second;
+      score[p.first] +=
+          w * f * (k1 + 1.0) /
+          (f + k1 * (1.0 - b + b * doc_len[p.first] / avgdl));
+    }
+  }
+
+  // top-n, score desc; ties resolved like np.argsort(score)[::-1]
+  // (descending index among equal scores)
+  std::vector<long long> order(n_docs);
+  for (long long i = 0; i < n_docs; ++i) order[i] = i;
+  long long keep = std::min(n, n_docs);
+  std::partial_sort(order.begin(), order.begin() + keep, order.end(),
+                    [&](long long a, long long bb) {
+                      if (score[a] != score[bb]) return score[a] > score[bb];
+                      return a > bb;
+                    });
+  for (long long i = 0; i < keep; ++i) out_idx[i] = order[i];
+  return keep;
+}
+}

@@ -56,3 +56,44 @@ def test_custom_ids():
     idx = NativeIndex(emb, ids=ids)
     out_ids, _ = idx.search(rng.normal(size=(1, 8)).astype(np.float32), k=3)
     assert all(1000 <= i < 1050 for i in out_ids[0])
+
+
+class TestNativeBM25:
+    def test_matches_python_bm25(self):
+        from lako_tpu.retrieval.bm25 import BM25Okapi
+        from lako_tpu.retrieval.native import bm25_topn_native
+
+        rng = np.random.default_rng(11)
+        for _ in range(15):
+            n_docs = int(rng.integers(3, 40))
+            docs = [list(rng.integers(0, 50, size=rng.integers(2, 15)))
+                    for _ in range(n_docs)]
+            query = list(rng.integers(0, 60, size=rng.integers(1, 8)))
+            py = BM25Okapi([[str(t) for t in d] for d in docs])
+            scores = py.get_scores([str(t) for t in query])
+            expect = np.argsort(-scores, kind="stable")
+            got = bm25_topn_native(docs, query, n=5)
+            # compare by score (ties can reorder)
+            np.testing.assert_allclose(
+                scores[got], np.sort(scores)[::-1][: len(got)], atol=1e-9)
+
+    def test_miner_native_path_matches_python(self):
+        from lako_tpu.retrieval.candidates import CandidateMiner
+        from lako_tpu.retrieval.verbalize import verbalize_triples
+
+        triples = [("cat", "is_a", "animal"), ("dog", "is_a", "animal"),
+                   ("cat", "chases", "mouse"), ("wave", "part_of", "ocean")]
+        miner = CandidateMiner(verbalize_triples(triples, {"is_a": "is a kind of"}))
+        native = miner.top_k("what is the cat?", "a cat and a dog.", k=10)
+        # force the python path
+        import lako_tpu.retrieval.candidates as C
+        orig = C.CandidateMiner._bm25_top_n
+        C.CandidateMiner._bm25_top_n = staticmethod(
+            lambda dt, q, docs, n: __import__(
+                "lako_tpu.retrieval.bm25", fromlist=["BM25Okapi"]
+            ).BM25Okapi(dt).get_top_n(q, docs, n=n))
+        try:
+            python = miner.top_k("what is the cat?", "a cat and a dog.", k=10)
+        finally:
+            C.CandidateMiner._bm25_top_n = staticmethod(orig)
+        assert [f["id"] for f in native] == [f["id"] for f in python]
