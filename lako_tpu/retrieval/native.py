@@ -114,6 +114,56 @@ def _iptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+class HostIndex:
+    """Best-of-host exact MIPS: chunked BLAS matmul + running top-k merge.
+
+    Memory stays O(Q × (chunk + k)) instead of numpy's naive O(Q × N) score
+    matrix, at full GEMM throughput. This is the recommended host path; the
+    pure-C++ :class:`NativeIndex` remains for zero-BLAS deployments.
+    """
+
+    def __init__(self, embeddings: np.ndarray, ids: Optional[np.ndarray] = None,
+                 chunk_size: int = 65536):
+        self._emb = np.ascontiguousarray(embeddings, dtype=np.float32)
+        self.n, self.dim = self._emb.shape
+        self.ids = np.arange(self.n, dtype=np.int64) if ids is None \
+            else np.asarray(ids, dtype=np.int64)
+        self.chunk = chunk_size
+
+    def search(self, queries: np.ndarray, k: int,
+               batch_size: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        Q = len(q)
+        k = min(k, self.n)
+        best_scores = np.full((Q, k), -np.inf, dtype=np.float32)
+        best_idx = np.zeros((Q, k), dtype=np.int64)
+        for s in range(0, self.n, self.chunk):
+            block = self._emb[s : s + self.chunk]
+            scores = q @ block.T  # BLAS GEMM
+            kk = min(k, scores.shape[1])
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            part_scores = np.take_along_axis(scores, part, axis=1)
+            cat_scores = np.concatenate([best_scores, part_scores], axis=1)
+            cat_idx = np.concatenate([best_idx, part + s], axis=1)
+            keep = np.argpartition(-cat_scores, k - 1, axis=1)[:, :k]
+            best_scores = np.take_along_axis(cat_scores, keep, axis=1)
+            best_idx = np.take_along_axis(cat_idx, keep, axis=1)
+        order = np.argsort(-best_scores, axis=1)
+        best_scores = np.take_along_axis(best_scores, order, axis=1)
+        best_idx = np.take_along_axis(best_idx, order, axis=1)
+        return self.ids[best_idx], best_scores
+
+    def rerank(self, candidate_ids: np.ndarray, queries: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        cand = np.asarray(candidate_ids, dtype=np.int64)
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        gathered = self._emb[cand]                       # (B, C, d)
+        scores = np.einsum("bcd,bd->bc", gathered, q)
+        order = np.argsort(-scores, axis=1)
+        return (np.take_along_axis(cand, order, axis=1),
+                np.take_along_axis(scores, order, axis=1).astype(np.float32))
+
+
 class NativeIndex:
     """Host-CPU exact MIPS with the DenseIndex search/rerank interface."""
 

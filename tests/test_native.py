@@ -97,3 +97,29 @@ class TestNativeBM25:
         finally:
             C.CandidateMiner._bm25_top_n = staticmethod(orig)
         assert [f["id"] for f in native] == [f["id"] for f in python]
+
+
+class TestHostIndex:
+    def test_matches_dense_index(self):
+        from lako_tpu.retrieval.index import DenseIndex
+        from lako_tpu.retrieval.native import HostIndex
+
+        rng = np.random.default_rng(21)
+        emb = rng.normal(size=(3000, 24)).astype(np.float32)
+        q = rng.normal(size=(6, 24)).astype(np.float32)
+        h_ids, h_sc = HostIndex(emb, chunk_size=700).search(q, k=9)
+        d_ids, d_sc = DenseIndex(emb).search(q, k=9)
+        np.testing.assert_array_equal(h_ids, d_ids)
+        np.testing.assert_allclose(h_sc, d_sc, rtol=1e-5)
+
+    def test_rerank_matches(self):
+        from lako_tpu.retrieval.index import DenseIndex
+        from lako_tpu.retrieval.native import HostIndex
+
+        rng = np.random.default_rng(22)
+        emb = rng.normal(size=(80, 8)).astype(np.float32)
+        cand = rng.integers(0, 80, size=(3, 7))
+        q = rng.normal(size=(3, 8)).astype(np.float32)
+        h_ids, _ = HostIndex(emb).rerank(cand, q)
+        d_ids, _ = DenseIndex(emb).rerank(cand, q)
+        np.testing.assert_array_equal(h_ids, d_ids)
