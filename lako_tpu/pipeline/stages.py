@@ -73,10 +73,22 @@ def train_reader_stage(
     init_params_path: Optional[str] = None,
     maxload: int = -1,
 ) -> Dict[str, Any]:
-    train_examples = _load_json(train_data)
+    import jax
+
+    from lako_tpu.data import load_reader_data
+
+    # per-process shard of the training data in multi-host runs (the sharding
+    # the reference wired but never used, src/data.py:151-160)
+    if jax.process_count() > 1:
+        train_examples = load_reader_data(
+            train_data, global_rank=jax.process_index(),
+            world_size=jax.process_count(), maxload=maxload)
+    else:
+        train_examples = _load_json(train_data)
+        if maxload > 0:  # small-data mode (reference data_process --tiny/--fast)
+            train_examples = train_examples[:maxload]
     eval_examples = _load_json(eval_data)
-    if maxload > 0:  # small-data mode (reference data_process --tiny/--fast)
-        train_examples = train_examples[:maxload]
+    if maxload > 0:
         eval_examples = eval_examples[:maxload]
     t5_cfg = t5_config or t5_config_for_size(cfg.model_size,
                                              vocab_size=tokenizer.vocab_size)

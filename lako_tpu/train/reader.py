@@ -85,9 +85,15 @@ def evaluate_reader(
             scores.append(ems(ans, gold))
             answers.append(ans)
             indices.append(int(batch.index[k]))
+    em, total = float(np.mean(scores)) if scores else 0.0, len(scores)
+    # cross-process count-weighted mean (reference weighted_average,
+    # train_reader.py:165) — passthrough in single-process runs
+    from lako_tpu.core.distributed import weighted_average
+
+    em, total = weighted_average(em, total)
     return {
-        "em": float(np.mean(scores)) if scores else 0.0,
-        "total": len(scores),
+        "em": em,
+        "total": total,
         "answers": answers,
         "indices": indices,
     }
