@@ -52,6 +52,24 @@ def _decode_biases(mdl: FiDT5, enc_mask, max_len):
     return mdl.t5.decoder.decode_biases(enc_mask, max_len)
 
 
+def eliminate_tokens(enc: Array, enc_mask: Array, keep_tokens: int
+                     ) -> Tuple[Array, Array]:
+    """Token elimination (PAPERS.md: arXiv 2310.13682): keep only the
+    ``keep_tokens`` highest-salience encoder states per example before the
+    decoder cross-attends, shrinking the cross-KV working set (the decode
+    bandwidth driver) by K/(N·L). Salience = L2 norm of the encoder state —
+    cheap, decoder-agnostic, and a strong proxy for cross-attention mass.
+    Static shapes: top-k gather, so one executable regardless of content."""
+    import jax.numpy as jnp
+
+    salience = jnp.linalg.norm(enc.astype(jnp.float32), axis=-1)
+    salience = jnp.where(enc_mask, salience, -jnp.inf)
+    _, idx = jax.lax.top_k(salience, keep_tokens)         # (B, K)
+    kept = jnp.take_along_axis(enc, idx[:, :, None], axis=1)
+    kept_mask = jnp.take_along_axis(enc_mask, idx, axis=1)
+    return kept, kept_mask
+
+
 def greedy_generate(
     model: FiDT5,
     params,
@@ -60,19 +78,26 @@ def greedy_generate(
     max_length: int = 50,
     collect_cross_scores: bool = False,
     early_exit: bool = False,
+    keep_tokens: Optional[int] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Greedy decode. Returns (tokens (B, max_length-1), first-step cross-attention
     logits (B, layers, heads, N·L) or None).
 
     ``max_length`` counts the decoder-start token like HF generate, so up to
-    ``max_length - 1`` tokens are produced.
-    """
+    ``max_length - 1`` tokens are produced. ``keep_tokens`` enables token
+    elimination (incompatible with score capture: positions lose their
+    collate-time span mapping)."""
     cfg = model.config
     B = input_ids.shape[0]
     steps = max_length - 1
     variables = {"params": params}
 
     enc, enc_mask = model.apply(variables, input_ids, mask, method=_encode)
+    if keep_tokens is not None and keep_tokens < enc.shape[1]:
+        if collect_cross_scores:
+            raise ValueError("token elimination breaks fact-span mapping; "
+                             "disable collect_cross_scores")
+        enc, enc_mask = eliminate_tokens(enc, enc_mask, keep_tokens)
     self_caches, cross_kvs = model.apply(variables, B, steps, enc, method=_init_cache)
     self_bias_full, cross_bias = model.apply(variables, enc_mask, steps,
                                              method=_decode_biases)
@@ -142,7 +167,7 @@ def greedy_generate(
 
 def make_generate_fn(
     model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False,
-    early_exit: bool = False,
+    early_exit: bool = False, keep_tokens=None,
 ) -> Callable:
     """Jit-compiled (params, input_ids, mask) → (tokens, cross_logits|None)."""
 
@@ -151,7 +176,7 @@ def make_generate_fn(
         return greedy_generate(
             model, params, input_ids, mask,
             max_length=max_length, collect_cross_scores=collect_cross_scores,
-            early_exit=early_exit,
+            early_exit=early_exit, keep_tokens=keep_tokens,
         )
 
     return fn

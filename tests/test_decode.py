@@ -133,3 +133,39 @@ def test_eos_padding(setup):
     if cfg.eos_token_id in toks:
         i = toks.index(cfg.eos_token_id)
         assert all(t == cfg.pad_token_id for t in toks[i + 1:])
+
+
+def test_token_elimination(setup):
+    """Token elimination keeps shapes static and selects the highest-salience
+    encoder states; keep=full is a no-op on results."""
+    from lako_tpu.models.t5.decode import eliminate_tokens
+
+    model, cfg, params = setup
+    fid = FiDT5(cfg)
+    rs = np.random.default_rng(17)
+    B, N, L = 2, 2, 8
+    ids = rs.integers(2, 100, size=(B, N, L)).astype(np.int32)
+    mask = np.ones((B, N, L), dtype=bool)
+
+    full, _ = greedy_generate(fid, params, jnp.asarray(ids), jnp.asarray(mask),
+                              max_length=6, keep_tokens=N * L)
+    base, _ = greedy_generate(fid, params, jnp.asarray(ids), jnp.asarray(mask),
+                              max_length=6)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(base))
+
+    reduced, _ = greedy_generate(fid, params, jnp.asarray(ids), jnp.asarray(mask),
+                                 max_length=6, keep_tokens=8)
+    assert np.asarray(reduced).shape == np.asarray(base).shape
+
+    # unit check of the selector
+    enc = jnp.asarray(rs.normal(size=(1, 6, 4)).astype(np.float32))
+    enc = enc.at[0, 3].set(100.0)  # dominant salience
+    m = jnp.ones((1, 6), bool)
+    kept, kept_mask = eliminate_tokens(enc, m, 2)
+    assert kept.shape == (1, 2, 4)
+    assert float(jnp.abs(kept[0]).max()) == 100.0
+
+    # score capture + elimination must be rejected
+    with pytest.raises(ValueError):
+        greedy_generate(fid, params, jnp.asarray(ids), jnp.asarray(mask),
+                        max_length=6, keep_tokens=4, collect_cross_scores=True)
