@@ -8,3 +8,24 @@ evaluation, and pipeline-orchestration stack — redesigned SPMD-first for TPU.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "LakoService":
+        from lako_tpu.serve import LakoService
+
+        return LakoService
+    if name == "FiDT5":
+        from lako_tpu.models.t5 import FiDT5
+
+        return FiDT5
+    if name == "Retriever":
+        from lako_tpu.models.retriever import Retriever
+
+        return Retriever
+    if name == "DenseIndex":
+        from lako_tpu.retrieval.index import DenseIndex
+
+        return DenseIndex
+    raise AttributeError(name)

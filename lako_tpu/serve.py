@@ -36,6 +36,9 @@ class ServiceConfig:
     data: ReaderDataConfig = field(default_factory=ReaderDataConfig)
     dtype: str = "bfloat16"
     num_beams: int = 1
+    # token elimination (arXiv 2310.13682): keep only this many encoder states
+    # for decode; None = all. Greedy path only.
+    keep_tokens: Optional[int] = None
 
 
 class LakoService:
@@ -64,7 +67,8 @@ class LakoService:
                                          num_beams=cfg.num_beams)
             self._generate = lambda p, i, m: (beam(p, i, m), None)
         else:
-            self._generate = make_generate_fn(self.model, max_length=cfg.max_length)
+            self._generate = make_generate_fn(self.model, max_length=cfg.max_length,
+                                              keep_tokens=cfg.keep_tokens)
 
         self.retriever = retriever
         self.retriever_params = retriever_params
