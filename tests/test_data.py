@@ -187,3 +187,26 @@ class TestPrefetch:
         col = ReaderCollator(cfg, tok)
         with pytest.raises(RuntimeError, match="boom"):
             list(batch_iterator(Boom(), 4, col, prefetch=2))
+
+
+class TestUnigramSpans:
+    def test_fact_spans_with_trained_unigram(self):
+        """Span-by-construction must hold for subword tokenizers too (the
+        production path once a Unigram model is trained on the real corpus)."""
+        from lako_tpu.text.tokenizer import HFTokenizer
+        from tests.fixtures import corpus_sentences, make_examples
+
+        corpus = corpus_sentences() * 30 + [
+            "question: what sound does the animal make? context: fact:"] * 10
+        tok = HFTokenizer.train_unigram(corpus, vocab_size=160)
+        cfg = ReaderDataConfig(n_context=3, text_maxlength=40, answer_maxlength=6,
+                               stream=2)
+        ds = ReaderDataset(make_examples(4, 3, 2), cfg)
+        batch = ReaderCollator(cfg, tok)([ds[i] for i in range(4)])
+        for i in range(4):
+            for j, sent in enumerate(ds[i]["fact_sentences"]):
+                s, e = batch.fact_spans[i, j]
+                if e == 0:
+                    continue
+                span_ids = [int(t) for t in batch.passage_ids[i, 1, s:e]]
+                assert span_ids == tok.encode(sent, add_special=False)[: e - s]
