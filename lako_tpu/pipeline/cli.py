@@ -135,7 +135,8 @@ def cmd_retrieve(args):
     cfg = _load_cfg(RetrieverTrainConfig, args.config).retriever
     tok = _tokenizer(args.tokenizer, style="bert")
     fn = rerank_stage if args.small_range else retrieve_stage
-    kwargs = {} if args.small_range else {"n_docs": args.n_docs}
+    kwargs = {} if args.small_range else {"n_docs": args.n_docs,
+                                          "sharded": args.sharded_index}
     out = fn(cfg, args.model_path, args.index, args.corpus,
              args.data, args.out, tok, **kwargs)
     print(json.dumps(out))
@@ -360,6 +361,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--n-docs", type=int, default=500)
     t.add_argument("--small-range", action="store_true",
                    help="re-rank each example's existing candidates")
+    t.add_argument("--sharded-index", action="store_true",
+                   help="shard the corpus over the mesh data axis")
     t.set_defaults(fn=cmd_retrieve)
 
     t = sub.add_parser("eval-facts", help="retrieval hit@k")

@@ -282,11 +282,24 @@ def retrieve_stage(
     out_paths: Sequence[str],
     tokenizer,
     n_docs: int = 500,
+    sharded: bool = False,
 ) -> Dict[str, Any]:
-    """Full-corpus dense retrieval (reference fact_retrieval.py:124-211)."""
+    """Full-corpus dense retrieval (reference fact_retrieval.py:124-211).
+    ``sharded=True`` spreads the corpus over the mesh data axis (corpora larger
+    than one chip's HBM)."""
     corpus = _load_json(corpus_path)
     id_to_sentence = {int(r["id"]): r["sentence"] for r in corpus}
-    index = DenseIndex.load(index_path)
+    if sharded:
+        import numpy as _np
+
+        from lako_tpu.core.mesh import make_mesh
+        from lako_tpu.retrieval.index import ShardedDenseIndex
+
+        base = DenseIndex.load(index_path)
+        index = ShardedDenseIndex(_np.asarray(base._emb, _np.float32), make_mesh(),
+                                  ids=base.ids)
+    else:
+        index = DenseIndex.load(index_path)
     model, params = _load_retriever(retriever_cfg, model_path)
     stats = {}
     for data_path, out_path in zip(data_paths, out_paths):

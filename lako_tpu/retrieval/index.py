@@ -164,9 +164,14 @@ class ShardedDenseIndex:
             base = jax.lax.axis_index(axis) * rows
             idx = base + jnp.arange(rows)[None, :]
             scores = jnp.where(idx < n, scores, -jnp.inf)
-            s, i = jax.lax.top_k(scores, k)
+            kk = min(k, rows)  # a shard may hold fewer rows than k
+            s, i = jax.lax.top_k(scores, kk)
             local_idx = jnp.take_along_axis(
                 jnp.broadcast_to(idx, scores.shape), i, axis=1)
+            if kk < k:
+                pad = k - kk
+                s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+                local_idx = jnp.pad(local_idx, ((0, 0), (0, pad)))
             # gather every shard's candidates and merge
             s_all = jax.lax.all_gather(s, axis, axis=1).reshape(s.shape[0], -1)
             i_all = jax.lax.all_gather(local_idx, axis, axis=1).reshape(s.shape[0], -1)

@@ -256,3 +256,24 @@ def test_warm_start_reader_cli(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["steps"] == 4  # fresh optimizer (reset_params warm start)
     assert (wd / "ck" / "retrain" / "checkpoint" / "last").exists()
+
+
+@pytest.mark.slow
+def test_retrieve_sharded_matches_plain(workdir, capsys):
+    wd = workdir
+    if not (wd / "index").exists():
+        pytest.skip("depends on test_full_pipeline_stages artifacts")
+    import os
+    retr_ckpt = str(wd / "ckpt" / "retriever" / "checkpoint" / "best_dev")
+    common = ["--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt, "--index", str(wd / "index"),
+              "--corpus", str(wd / "corpus.json"),
+              "--data", str(wd / "eval.json"),
+              "--tokenizer", str(wd / "btok.json"), "--n-docs", "4"]
+    cli_main(["retrieve", *common, "--out", str(wd / "r_plain.json")])
+    cli_main(["retrieve", *common, "--sharded-index",
+              "--out", str(wd / "r_sharded.json")])
+    plain = json.loads((wd / "r_plain.json").read_text())
+    sharded = json.loads((wd / "r_sharded.json").read_text())
+    for a, b in zip(plain, sharded):
+        assert [f["id"] for f in a["fact"]] == [f["id"] for f in b["fact"]]
