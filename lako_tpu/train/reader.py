@@ -73,7 +73,9 @@ def evaluate_reader(
     indices: List[int] = []
     for batch in batch_iterator(dataset, batch_size, collator, shuffle=False):
         ids, mask = jnp.asarray(batch.passage_ids), jnp.asarray(batch.passage_mask)
-        if mesh is not None:
+        # shard over the data axis only when the batch divides it; small eval
+        # batches (< mesh size) run replicated
+        if mesh is not None and len(ids) % mesh.shape["data"] == 0:
             ids = jax.device_put(ids, batch_sharding(mesh, ids.ndim))
             mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
         tokens, _ = generate_fn(params, ids, mask)

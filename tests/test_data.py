@@ -210,3 +210,14 @@ class TestUnigramSpans:
                     continue
                 span_ids = [int(t) for t in batch.passage_ids[i, 1, s:e]]
                 assert span_ids == tok.encode(sent, add_special=False)[: e - s]
+
+
+def test_load_jsonl(tmp_path, examples):
+    import json as _json
+
+    p = tmp_path / "d.jsonl"
+    p.write_text("\n".join(_json.dumps(e) for e in examples[:5]))
+    rows = load_reader_data(str(p))
+    assert len(rows) == 5
+    assert rows[0]["question"] == examples[0]["question"]
+    assert rows[3]["id"] == 3

@@ -277,3 +277,58 @@ def test_retrieve_sharded_matches_plain(workdir, capsys):
     sharded = json.loads((wd / "r_sharded.json").read_text())
     for a, b in zip(plain, sharded):
         assert [f["id"] for f in a["fact"]] == [f["id"] for f in b["fact"]]
+
+
+def test_mine_candidates_dict_triples(tmp_path, capsys):
+    """Reference triplestemindex_database format: {"0": [s, r, o], ...}."""
+    wd = tmp_path
+    triples = {str(i): [a, "says#rel", s]
+               for i, (a, s) in enumerate(zip(ANIMALS, SOUNDS))}
+    (wd / "triples.json").write_text(json.dumps(triples))
+    (wd / "tmpl.json").write_text(json.dumps({"says#rel": "says"}))
+    cli_main(["mine-candidates", "--triples", str(wd / "triples.json"),
+              "--templates", str(wd / "tmpl.json"),
+              "--corpus-out", str(wd / "corpus.json")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["facts"] == len(ANIMALS)
+    corpus = json.loads((wd / "corpus.json").read_text())
+    assert corpus[0]["sentence"] == f"{ANIMALS[0]} says {SOUNDS[0]}."
+
+
+def test_write_results_schema(tmp_path, capsys):
+    """--write-results emits the reference result schema
+    (test_reader.py:92-105)."""
+    wd = tmp_path
+    (wd / "train.json").write_text(json.dumps(make_examples(16, 2, 0)))
+    (wd / "eval.json").write_text(json.dumps(make_examples(4, 2, 3)))
+    t5_cfg = {"vocab_size": 64, "d_model": 32, "d_kv": 8, "d_ff": 64,
+              "num_layers": 1, "num_decoder_layers": 1, "num_heads": 2,
+              "relative_attention_num_buckets": 8, "dropout_rate": 0.0}
+    cfg = {"checkpoint_dir": str(wd / "ck"), "name": "w",
+           "per_device_batch_size": 1, "eval_batch_size": 4, "epochs": 1,
+           "early_stop": 1, "eval_max_length": 4, "use_remat": False,
+           "dtype": "float32",
+           "data": {"n_context": 2, "text_maxlength": 20, "answer_maxlength": 4,
+                    "stream": 2},
+           "optim": {"optim": "adamw", "lr": 1e-3, "weight_decay": 0.0}}
+    (wd / "t5.json").write_text(json.dumps(t5_cfg))
+    (wd / "cfg.json").write_text(json.dumps(cfg))
+    cli_main(["build-tokenizer", "--from-json", str(wd / "train.json"),
+              "--out", str(wd / "tok.json")])
+    cli_main(["train-reader", "--config", str(wd / "cfg.json"),
+              "--t5-config", str(wd / "t5.json"),
+              "--train-data", str(wd / "train.json"),
+              "--eval-data", str(wd / "eval.json"),
+              "--tokenizer", str(wd / "tok.json")])
+    cli_main(["eval-reader", "--config", str(wd / "cfg.json"),
+              "--t5-config", str(wd / "t5.json"),
+              "--eval-data", str(wd / "eval.json"),
+              "--model-path", str(wd / "ck" / "w" / "checkpoint" / "last"),
+              "--tokenizer", str(wd / "tok.json"),
+              "--write-results", str(wd / "results.json")])
+    results = json.loads((wd / "results.json").read_text())
+    assert len(results) == 4
+    row = results[0]
+    for key in ("question", "img_id", "answer", "target", "real answers",
+                "fact", "include_score", "score", "stem_score"):
+        assert key in row, key
