@@ -28,6 +28,9 @@ class ReaderBatch:
     fact_spans: np.ndarray     # (B, n_context, 2) int32 [start, end) in fact passage
     n_facts: np.ndarray        # (B,) int32
     valid: np.ndarray          # (B,) bool — False for eval padding rows
+    question_spans: np.ndarray = None  # (B, 2) int32: content span in passage 0
+                                       # (after the "question:" prefix — the
+                                       # get_psg_score region, src/model.py:127-132)
 
 
 @dataclass
@@ -86,6 +89,8 @@ class ReaderCollator:
         n_facts = np.zeros(Bp, dtype=np.int32)
         index = np.zeros(Bp, dtype=np.int32)
         valid = np.zeros(Bp, dtype=bool)
+        question_spans = np.zeros((Bp, 2), dtype=np.int32)
+        prefix_len = len(tok.encode(cfg.question_prefix, add_special=False))
 
         for i, item in enumerate(items):
             index[i] = item["index"]
@@ -111,6 +116,8 @@ class ReaderCollator:
                 ids = tok.encode(text)[:L]
                 passage_ids[i, p, : len(ids)] = ids
                 passage_mask[i, p, : len(ids)] = True
+                if p == 0:
+                    question_spans[i] = (min(prefix_len, len(ids)), len(ids))
 
             if isinstance(item["fact"], str) and cfg.stream == 2:
                 ids, spans = self._encode_fact_passage(item)
@@ -119,7 +126,7 @@ class ReaderCollator:
                 fact_spans[i] = spans
 
         return ReaderBatch(index, passage_ids, passage_mask, labels, fact_spans,
-                           n_facts, valid)
+                           n_facts, valid, question_spans)
 
 
 class RetrieverCollator:

@@ -221,3 +221,16 @@ def test_load_jsonl(tmp_path, examples):
     assert len(rows) == 5
     assert rows[0]["question"] == examples[0]["question"]
     assert rows[3]["id"] == 3
+
+
+def test_question_spans(examples, tok):
+    cfg = make_cfg()
+    ds = ReaderDataset(examples, cfg)
+    batch = ReaderCollator(cfg, tok)([ds[0]])
+    s, e = batch.question_spans[0]
+    assert 0 < s < e
+    # the span starts right after the "question:" prefix and runs to the end
+    # of the question+caption passage
+    assert e == int(batch.passage_mask[0, 0].sum())
+    decoded = tok.decode(batch.passage_ids[0, 0, s:e])
+    assert ds[0]["question"].split(" ", 1)[1].split("?")[0].split()[0] in decoded
