@@ -62,7 +62,7 @@ def main():
     for ex in examples:
         query = (ex["question"] + " " + ex["caption"]).lower() \
             .replace("?", "").replace(".", "").split()
-        top = bm25.get_top_n(query, list(range(len(sentences))), n=3)
+        top = bm25.get_top_n(query, list(range(len(sentences))), n=20)
         ex["fact"] = [{"sentence": sentences[i], "id": int(i)} for i in top]
     print(f"BM25 fact mining: {time.time()-t0:.1f}s", flush=True)
 
