@@ -429,6 +429,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tokenizer", required=True)
     t.add_argument("--bert-tokenizer", required=True)
     t.add_argument("--iterations", type=int, default=2)
+    t.add_argument("--warm-start-reader", action="store_true",
+                   help="initialize each iteration's reader from the previous "
+                        "iteration's best checkpoint (reference load_path role)")
+    t.add_argument("--reader-init", help="checkpoint dir to warm-start iteration 1")
     t.add_argument("--attention-score-style", default="mean")
     t.add_argument("--ans-attention", action="store_true")
     t.add_argument("--use-last-half-layer-attention", action="store_true")

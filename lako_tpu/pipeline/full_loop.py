@@ -24,6 +24,12 @@ from lako_tpu.core.config import (
 from lako_tpu.core.logging import get_logger
 
 
+def _best_or_last(run_dir: Path) -> str:
+    """best_dev when the metric ever improved, else the per-epoch last."""
+    best = run_dir / "checkpoint" / "best_dev"
+    return str(best if best.exists() else run_dir / "checkpoint" / "last")
+
+
 def run_full_loop(args) -> Dict[str, Any]:
     from lako_tpu.pipeline.stages import (
         embed_facts_stage,
@@ -53,6 +59,7 @@ def run_full_loop(args) -> Dict[str, Any]:
 
     train_data, eval_data = args.train_data, args.eval_data
     history = []
+    prev_reader_ckpt = getattr(args, "reader_init", None)
     for it in range(1, args.iterations + 1):
         version = f"v{it}"
         logger.info("=== full-loop iteration %s ===", version)
@@ -62,10 +69,20 @@ def run_full_loop(args) -> Dict[str, Any]:
             checkpoint_dir=str(workdir), name=f"retriever_{version}",
             n_context=reader_cfg.data.n_context)
 
-        # 1. reader training
+        # 1. reader training (warm-started from the previous iteration's best
+        # reader when requested — the reference's load_path warm start,
+        # run_okvqa_train_full.sh:43-44)
+        if it == 1:
+            init_path = getattr(args, "reader_init", None)
+        elif getattr(args, "warm_start_reader", False):
+            init_path = prev_reader_ckpt
+        else:
+            init_path = None
         reader_out = train_reader_stage(it_reader_cfg, train_data, eval_data, tok,
-                                        t5_config=t5_cfg)
-        reader_ckpt = f"{workdir}/reader_{version}/checkpoint/best_dev"
+                                        t5_config=t5_cfg,
+                                        init_params_path=init_path)
+        reader_ckpt = _best_or_last(workdir / f"reader_{version}")
+        prev_reader_ckpt = reader_ckpt
 
         # 2. attention generate on both splits
         signal_cfg = AttentionSignalConfig(
@@ -86,7 +103,7 @@ def run_full_loop(args) -> Dict[str, Any]:
 
         # 3. retriever distillation
         retr_out = train_retriever_stage(it_retr_cfg, scored_train, scored_eval, btok)
-        retr_ckpt = f"{workdir}/retriever_{version}/checkpoint/best_dev"
+        retr_ckpt = _best_or_last(workdir / f"retriever_{version}")
 
         # 4. corpus embedding
         index_path = str(workdir / f"fact_index_{version}")

@@ -193,6 +193,9 @@ def train_retriever(
             if save_checkpoints:
                 save_checkpoint(ckpt_dir, "best_dev", state.params, state.opt_state,
                                 step, inv)
+        if save_checkpoints:
+            save_checkpoint(ckpt_dir, "last", state.params, state.opt_state,
+                            step, best_inversions)
         if patience > cfg.early_stop:
             logger.info("early stop in epoch %d", epoch)
             break

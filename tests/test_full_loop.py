@@ -80,3 +80,54 @@ def test_full_loop_two_iterations(tmp_path, capsys):
     reranked = json.loads((loop / "train_reranked_v1.json").read_text())
     scores = [f["score"] for f in reranked[0]["fact"]]
     assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.slow
+def test_full_loop_warm_start(tmp_path, capsys):
+    """--warm-start-reader: iteration 2's reader initializes from iteration 1's
+    best checkpoint (reference load_path warm start)."""
+    wd = tmp_path
+    (wd / "train.json").write_text(json.dumps(make_examples(16, 2, 0)))
+    (wd / "eval.json").write_text(json.dumps(make_examples(8, 2, 7)))
+    corpus = [{"sentence": s, "id": i} for i, s in enumerate(corpus_sentences())]
+    (wd / "corpus.json").write_text(json.dumps(corpus))
+    t5_cfg = {"vocab_size": 64, "d_model": 32, "d_kv": 8, "d_ff": 64,
+              "num_layers": 1, "num_decoder_layers": 1, "num_heads": 2,
+              "relative_attention_num_buckets": 8, "dropout_rate": 0.0}
+    reader_cfg = {"per_device_batch_size": 1, "eval_batch_size": 8, "epochs": 2,
+                  "early_stop": 2, "eval_max_length": 4, "use_remat": False,
+                  "dtype": "float32",
+                  "data": {"n_context": 2, "text_maxlength": 20,
+                           "answer_maxlength": 4, "stream": 2},
+                  "optim": {"optim": "adamw", "lr": 5e-3, "weight_decay": 0.0}}
+    retr_cfg = {"per_device_batch_size": 1, "eval_batch_size": 8, "epochs": 1,
+                "early_stop": 1, "n_context": 2, "dtype": "float32",
+                "retriever": {"bert": {"vocab_size": 200, "hidden_size": 32,
+                                       "num_hidden_layers": 1,
+                                       "num_attention_heads": 2,
+                                       "intermediate_size": 64,
+                                       "max_position_embeddings": 64},
+                              "indexing_dimension": 16, "question_maxlength": 16,
+                              "passage_maxlength": 12},
+                "optim": {"optim": "adamw", "lr": 1e-3, "weight_decay": 0.0}}
+    for n, o in (("t5", t5_cfg), ("reader", reader_cfg), ("retr", retr_cfg)):
+        (wd / f"{n}.json").write_text(json.dumps(o))
+    cli_main(["build-tokenizer", "--from-json", str(wd / "train.json"),
+              str(wd / "corpus.json"), "--out", str(wd / "tok.json")])
+    cli_main(["build-tokenizer", "--from-json", str(wd / "train.json"),
+              str(wd / "corpus.json"), "--out", str(wd / "btok.json"),
+              "--style", "bert"])
+    capsys.readouterr()
+    cli_main(["full-loop", "--workdir", str(wd / "loop"),
+              "--reader-config", str(wd / "reader.json"),
+              "--retriever-config", str(wd / "retr.json"),
+              "--t5-config", str(wd / "t5.json"),
+              "--train-data", str(wd / "train.json"),
+              "--eval-data", str(wd / "eval.json"),
+              "--corpus", str(wd / "corpus.json"),
+              "--tokenizer", str(wd / "tok.json"),
+              "--bert-tokenizer", str(wd / "btok.json"),
+              "--iterations", "2", "--warm-start-reader"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["iterations"] == 2
+    assert (wd / "loop" / "reader_v2" / "checkpoint").exists()
