@@ -73,3 +73,47 @@ def test_service_beam_path():
     out = svc.answer("what sound does the cat make?", "a cat.",
                      facts=[{"sentence": "cat says meow.", "id": 0}])
     assert isinstance(out["answer"], str)
+
+
+def test_config_json_roundtrips():
+    from lako_tpu.core.config import (
+        ReaderTrainConfig,
+        RetrieverTrainConfig,
+        T5Config,
+    )
+    import json as _json
+
+    for cls in (ReaderTrainConfig, RetrieverTrainConfig, T5Config):
+        cfg = cls()
+        again = cls.from_dict(_json.loads(cfg.to_json()))
+        assert again == cfg, cls.__name__
+
+
+def test_t5_size_presets():
+    from lako_tpu.core.config import t5_config_for_size
+
+    large = t5_config_for_size("large")
+    assert (large.d_model, large.num_layers, large.num_heads) == (1024, 24, 16)
+    small = t5_config_for_size("small", vocab_size=123)
+    assert small.vocab_size == 123 and small.d_ff == 2048
+
+
+def test_tokenizer_empty_and_long():
+    from tests.fixtures import make_tokenizer
+
+    tok = make_tokenizer()
+    assert tok.encode("", add_special=False) == []
+    ids, mask = tok.batch_encode([""], 4)
+    assert mask[0].sum() == 1  # just EOS
+    ids2, mask2 = tok.batch_encode(["cat " * 500], 8)
+    assert mask2[0].all()
+
+
+def test_mesh_config_explicit_axes():
+    from lako_tpu.core.config import MeshConfig
+    from lako_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    with __import__("pytest").raises(ValueError):
+        make_mesh(MeshConfig(data=3, model=4))
