@@ -51,7 +51,7 @@ def main(workdir: str = "/tmp/lako_quickstart"):
         "dtype": "float32",
         "data": {"n_context": 3, "text_maxlength": 24, "answer_maxlength": 4,
                  "stream": 2},
-        "optim": {"optim": "adamw", "lr": 1e-2, "weight_decay": 0.0}}))
+        "optim": {"optim": "adamw", "lr": 3e-3, "weight_decay": 0.0}}))
     (wd / "retriever.json").write_text(json.dumps({
         "checkpoint_dir": str(wd / "ck"), "name": "retriever",
         "per_device_batch_size": 1, "eval_batch_size": 8, "epochs": 1,

@@ -227,6 +227,9 @@ class OptimConfig(_ConfigBase):
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-6
+    # None → match the reference per optimizer: torch Adam bias-corrects,
+    # HF AdamW(correct_bias=False) does not (src/util.py:224,232).
+    adam_correct_bias: Optional[bool] = None
 
 
 @dataclass(frozen=True)

@@ -331,17 +331,25 @@ def rerank_stage(
     for data_path, out_path in zip(data_paths, out_paths):
         examples = _load_json(data_path)
         q_emb = embed_questions(model, params, examples, tokenizer)
-        # ragged candidate lists → process in groups of equal length
+        # Ragged candidate lists → group rows by candidate count so each group
+        # is one batched device call (real data is uniformly C=500, so this is
+        # a single matmul pass, matching fact_retrieval_small_range.py:64-89).
+        groups: Dict[int, list] = {}
         for i, ex in enumerate(examples):
-            cand = np.asarray([int(f["id"]) for f in ex["fact"]], dtype=np.int64)
-            if len(cand) == 0:
+            groups.setdefault(len(ex["fact"]), []).append(i)
+        for count, rows in groups.items():
+            if count == 0:
                 continue
-            ids, scores = index.rerank(cand[None], q_emb[i:i + 1])
-            ex["fact"] = [
-                {"sentence": id_to_sentence[int(fid)], "id": int(fid),
-                 "score": float(s)}
-                for fid, s in zip(ids[0], scores[0])
-            ]
+            cand = np.asarray(
+                [[int(f["id"]) for f in examples[i]["fact"]] for i in rows],
+                dtype=np.int64)
+            ids, scores = index.rerank(cand, q_emb[np.asarray(rows)])
+            for r, row_ids, row_scores in zip(rows, ids, scores):
+                examples[r]["fact"] = [
+                    {"sentence": id_to_sentence[int(fid)], "id": int(fid),
+                     "score": float(s)}
+                    for fid, s in zip(row_ids, row_scores)
+                ]
         _save_json(examples, out_path)
         stats[data_path] = len(examples)
     return {"reranked": stats}

@@ -37,6 +37,26 @@ class DenseIndex:
         self._emb = jax.device_put(jnp.asarray(embeddings, dtype=dtype))
         self._search = jax.jit(functools.partial(_chunked_topk, self.chunk_size),
                                static_argnums=(2,))
+        # id → embedding-row lookup, built lazily on first rerank (identity
+        # when ids are positional, the common case)
+        self._id_to_row: Optional[dict] = None
+        self._ids_positional = bool(
+            np.array_equal(self.ids, np.arange(n, dtype=self.ids.dtype)))
+
+    def _rows_for_ids(self, candidate_ids: np.ndarray) -> np.ndarray:
+        """Map external fact ids to embedding rows (search() returns self.ids,
+        so rerank must invert that mapping rather than index rows directly)."""
+        if self._ids_positional:
+            return np.asarray(candidate_ids)
+        if self._id_to_row is None:
+            self._id_to_row = {int(i): r for r, i in enumerate(self.ids)}
+        flat = np.asarray(candidate_ids).reshape(-1)
+        try:
+            rows = np.fromiter((self._id_to_row[int(i)] for i in flat),
+                               dtype=np.int64, count=flat.size)
+        except KeyError as e:
+            raise KeyError(f"candidate id {e} not present in index ids") from None
+        return rows.reshape(np.asarray(candidate_ids).shape)
 
     def search(self, queries: np.ndarray, k: int,
                batch_size: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
@@ -51,17 +71,27 @@ class DenseIndex:
             out_ids.append(self.ids[np.asarray(idx)])
         return np.concatenate(out_ids), np.concatenate(out_scores)
 
-    def rerank(self, candidate_ids: np.ndarray, queries: np.ndarray
-               ) -> Tuple[np.ndarray, np.ndarray]:
+    def rerank(self, candidate_ids: np.ndarray, queries: np.ndarray,
+               batch_size: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
         """Per-example candidate re-scoring: (B, C) ids + (B, d) queries →
-        (ids, scores) sorted descending per row (small-range path)."""
-        gathered = jnp.take(self._emb, jnp.asarray(candidate_ids), axis=0)  # (B,C,d)
-        q = jnp.asarray(queries, dtype=self._emb.dtype)
-        scores = jnp.einsum("bcd,bd->bc", gathered, q).astype(jnp.float32)
-        order = jnp.argsort(-scores, axis=-1)
-        sorted_scores = jnp.take_along_axis(scores, order, axis=-1)
-        sorted_ids = np.take_along_axis(np.asarray(candidate_ids), np.asarray(order), axis=-1)
-        return sorted_ids, np.asarray(sorted_scores)
+        (ids, scores) sorted descending per row (small-range path).
+
+        Batched internally so a whole split can be passed at once (the gather
+        materializes (batch, C, d) on device)."""
+        rows = np.asarray(self._rows_for_ids(candidate_ids))
+        cand = np.asarray(candidate_ids)
+        out_ids, out_scores = [], []
+        for s in range(0, len(rows), batch_size):
+            gathered = jnp.take(self._emb, jnp.asarray(rows[s:s + batch_size]),
+                                axis=0)                    # (b, C, d)
+            q = jnp.asarray(queries[s:s + batch_size], dtype=self._emb.dtype)
+            scores = jnp.einsum("bcd,bd->bc", gathered, q).astype(jnp.float32)
+            order = jnp.argsort(-scores, axis=-1)
+            sorted_scores = jnp.take_along_axis(scores, order, axis=-1)
+            out_ids.append(np.take_along_axis(cand[s:s + batch_size],
+                                              np.asarray(order), axis=-1))
+            out_scores.append(np.asarray(sorted_scores))
+        return np.concatenate(out_ids), np.concatenate(out_scores)
 
     # -- persistence (replaces faiss serialize/deserialize, src/index.py:52-72) --
 

@@ -114,7 +114,35 @@ def _iptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
-class HostIndex:
+class _IdRowMixin:
+    """id → embedding-row inversion shared by the host index classes.
+
+    search() maps rows through ``self.ids`` on the way out, so rerank() must
+    invert that mapping on the way in; indexing rows with raw ids is only
+    correct when ids are exactly positional."""
+
+    _id_to_row = None
+    _ids_positional = None
+
+    def _rows_for_ids(self, candidate_ids: np.ndarray) -> np.ndarray:
+        if self._ids_positional is None:
+            self._ids_positional = bool(np.array_equal(
+                self.ids, np.arange(self.n, dtype=self.ids.dtype)))
+        cand = np.asarray(candidate_ids, dtype=np.int64)
+        if self._ids_positional:
+            return cand
+        if self._id_to_row is None:
+            self._id_to_row = {int(i): r for r, i in enumerate(self.ids)}
+        flat = cand.reshape(-1)
+        try:
+            rows = np.fromiter((self._id_to_row[int(i)] for i in flat),
+                               dtype=np.int64, count=flat.size)
+        except KeyError as e:
+            raise KeyError(f"candidate id {e} not present in index ids") from None
+        return rows.reshape(cand.shape)
+
+
+class HostIndex(_IdRowMixin):
     """Best-of-host exact MIPS: chunked BLAS matmul + running top-k merge.
 
     Memory stays O(Q × (chunk + k)) instead of numpy's naive O(Q × N) score
@@ -157,14 +185,14 @@ class HostIndex:
                ) -> Tuple[np.ndarray, np.ndarray]:
         cand = np.asarray(candidate_ids, dtype=np.int64)
         q = np.ascontiguousarray(queries, dtype=np.float32)
-        gathered = self._emb[cand]                       # (B, C, d)
+        gathered = self._emb[self._rows_for_ids(cand)]   # (B, C, d)
         scores = np.einsum("bcd,bd->bc", gathered, q)
         order = np.argsort(-scores, axis=1)
         return (np.take_along_axis(cand, order, axis=1),
                 np.take_along_axis(scores, order, axis=1).astype(np.float32))
 
 
-class NativeIndex:
+class NativeIndex(_IdRowMixin):
     """Host-CPU exact MIPS with the DenseIndex search/rerank interface."""
 
     def __init__(self, embeddings: np.ndarray, ids: Optional[np.ndarray] = None,
@@ -194,14 +222,15 @@ class NativeIndex:
     def rerank(self, candidate_ids: np.ndarray, queries: np.ndarray
                ) -> Tuple[np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(queries, dtype=np.float32)
-        cand = np.ascontiguousarray(candidate_ids, dtype=np.int64)
-        nq, c = cand.shape
-        out_ids = np.empty((nq, c), dtype=np.int64)
+        rows = np.ascontiguousarray(
+            self._rows_for_ids(candidate_ids), dtype=np.int64)
+        nq, c = rows.shape
+        out_rows = np.empty((nq, c), dtype=np.int64)
         out_scores = np.empty((nq, c), dtype=np.float32)
         rc = _load().lako_mips_rerank(
             _fptr(self._emb), self.n, self.dim, _fptr(q), nq,
-            _iptr(cand), c, _iptr(out_ids), _fptr(out_scores), self.n_threads,
+            _iptr(rows), c, _iptr(out_rows), _fptr(out_scores), self.n_threads,
         )
         if rc != 0:
             raise RuntimeError(f"lako_mips_rerank failed rc={rc}")
-        return out_ids, out_scores
+        return self.ids[out_rows], out_scores

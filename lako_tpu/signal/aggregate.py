@@ -14,9 +14,10 @@ Semantics preserved exactly:
 - per-fact aggregation styles mean / max / 21mean (top-half mean)
   (src/model.py:107-115), where a fact's token span includes its terminal period;
 - missing facts are padded with −5 (src/model.py:192-194);
-- the result is divided by layers×heads — the ORIGINAL layer count even when only
-  the last half of the layers is used (src/model.py:156-157,202-203, a quirk we
-  keep for parity);
+- the result is divided by layers×heads, where the layer count is read from the
+  tensor shape AFTER the last-half chunk (src/model.py:155-158,201-203): with
+  use_last_half_layer_attention the divisor is (n_layers // 2) × heads, and the
+  −5 pad is divided too;
 - optional answer-hit bonus + per-row softmax (test_reader.py:110-119), or plain
   softmax otherwise (test_reader.py:76).
 """
@@ -60,8 +61,10 @@ def aggregate_fact_scores(
     scores = np.where(mask, scores, 0.0)
 
     used = scores.reshape(B, n_layers, n_heads, N, L)
+    n_used_layers = n_layers
     if cfg.use_last_half_layer_attention:
         used = used[:, n_layers // 2:, :, :, :]
+        n_used_layers = n_layers - n_layers // 2
     # stream 2: fact passage is index 1; sum over layers and heads
     fact_stream = used[:, :, :, 1, :].sum(axis=(1, 2))  # (B, L)
 
@@ -72,8 +75,9 @@ def aggregate_fact_scores(
             if e <= s:
                 continue
             out[b, j] = _style_aggregate(fact_stream[b, s:e], cfg.attention_score_style)
-    # parity quirk: normalize by the ORIGINAL layers×heads (src/model.py:202-203)
-    out = out / (n_layers * n_heads)
+    # normalize by USED layers×heads: the reference reads n_layers from the
+    # tensor shape after the last-half chunk (src/model.py:155-158,201-203)
+    out = out / (n_used_layers * n_heads)
     return out.astype(np.float32)
 
 
@@ -121,8 +125,10 @@ def aggregate_fact_scores_device(
     scores = jnp.where(passage_mask.reshape(B, 1, 1, K),
                        cross_logits.astype(jnp.float32), 0.0)
     used = scores.reshape(B, n_layers, n_heads, N, L)
+    n_used_layers = n_layers
     if cfg.use_last_half_layer_attention:
         used = used[:, n_layers // 2:]
+        n_used_layers = n_layers - n_layers // 2
     fact_stream = used[:, :, :, 1, :].sum(axis=(1, 2))  # (B, L)
 
     pos = jnp.arange(L)[None, None, :]                      # (1, 1, L)
@@ -148,7 +154,8 @@ def aggregate_fact_scores_device(
 
     empty = (e - s)[..., 0] <= 0
     agg = jnp.where(empty, cfg.pad_score, agg)
-    return agg / (n_layers * n_heads)
+    # divisor uses the post-chunk layer count (src/model.py:155-158,201-203)
+    return agg / (n_used_layers * n_heads)
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:

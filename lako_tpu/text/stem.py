@@ -18,9 +18,19 @@ try:
     _TOKENIZER = WordPunctTokenizer()
     HAVE_NLTK = True
 except Exception:  # pragma: no cover - environment without nltk
+    import warnings
+
     import regex as _re
 
     HAVE_NLTK = False
+    warnings.warn(
+        "nltk is unavailable: stem-EM and the ans_attention bonus fall back to "
+        "exact-token matching (identity stemmer). Metrics and retriever "
+        "distillation targets will differ from the reference's Porter-stemmed "
+        "semantics (src/evaluation.py:182-194).",
+        RuntimeWarning,
+        stacklevel=2,
+    )
 
     class _FallbackTokenizer:
         _rx = _re.compile(r"\w+|[^\w\s]+")

@@ -87,6 +87,59 @@ def _layerwise_scale(decay: float, layer_key_prefix: str = "layer_") -> optax.Gr
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _scale_by_adam(correct_bias: bool, b1: float, b2: float,
+                   eps: float) -> optax.GradientTransformation:
+    """Adam second-moment scaling with the bias correction switchable.
+
+    correct_bias=False replicates HF's AdamW(correct_bias=False) used by the
+    reference's layerwise_decay_optimizer (src/util.py:224): raw EMA moments,
+    update = m / (sqrt(v) + eps)."""
+    if correct_bias:
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * jnp.square(g), state.nu, updates)
+        upd = jax.tree_util.tree_map(
+            lambda m, v: m / (jnp.sqrt(v) + eps), mu, nu)
+        return upd, optax.ScaleByAdamState(count=state.count + 1, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _hf_decoupled_decay(weight_decay: float, lr_schedule,
+                        mask_fn) -> optax.GradientTransformation:
+    """HF AdamW's weight-decay order: ``p -= lr*adam_u; p -= lr*wd*p``.
+
+    Applied AFTER learning-rate scaling (incoming update u = −lr·adam_u), this
+    adds ``−lr·wd·(p + u)`` — decaying the post-Adam-step parameters, exactly
+    as HF does, where optax's add_decayed_weights decays the pre-step ones
+    (an O(lr²·wd) divergence per step)."""
+
+    def init_fn(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("params required for decoupled weight decay")
+        lr = lr_schedule(state.count) if callable(lr_schedule) else lr_schedule
+        mask = mask_fn(params)
+        new_updates = jax.tree_util.tree_map(
+            lambda u, p, m: u - lr * weight_decay * (p + u) if m else u,
+            updates, params, mask,
+        )
+        return new_updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: OptimConfig, params_example: Optional[Any] = None) -> optax.GradientTransformation:
     scheduler_steps = cfg.scheduler_steps or cfg.total_steps
     if cfg.scheduler == "linear":
@@ -97,16 +150,20 @@ def make_optimizer(cfg: OptimConfig, params_example: Optional[Any] = None) -> op
 
     chain = [optax.clip_by_global_norm(cfg.clip)]
     if cfg.optim == "adam":
-        chain.append(optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps))
+        # torch.optim.Adam bias-corrects (reference src/util.py:232)
+        correct = True if cfg.adam_correct_bias is None else cfg.adam_correct_bias
+        chain.append(_scale_by_adam(correct, cfg.adam_b1, cfg.adam_b2, cfg.adam_eps))
     elif cfg.optim == "adamw":
-        chain.append(optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps))
-        if cfg.weight_decay > 0:
-            chain.append(optax.add_decayed_weights(cfg.weight_decay, mask=_no_decay_mask))
+        # HF AdamW(correct_bias=False) (reference src/util.py:224)
+        correct = False if cfg.adam_correct_bias is None else cfg.adam_correct_bias
+        chain.append(_scale_by_adam(correct, cfg.adam_b1, cfg.adam_b2, cfg.adam_eps))
     else:
         raise ValueError(cfg.optim)
     if cfg.layerwise_decay is not None:
         chain.append(_layerwise_scale(cfg.layerwise_decay))
     chain.append(optax.scale_by_learning_rate(lr))
+    if cfg.optim == "adamw" and cfg.weight_decay > 0:
+        chain.append(_hf_decoupled_decay(cfg.weight_decay, lr, _no_decay_mask))
     tx = optax.chain(*chain)
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)

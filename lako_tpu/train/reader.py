@@ -64,20 +64,24 @@ def evaluate_reader(
     tokenizer,
     batch_size: int,
     mesh=None,
+    batch_axis: str = "data",
 ) -> Dict[str, Any]:
     """Greedy decode + weighted EM over a dataset (reference evaluate,
     train_reader.py:123-169). Returns per-example answers too, for the
     write_results path (test_reader.py:92-105)."""
+    if mesh is not None:
+        # round the batch up to a multiple of the mesh batch axis so every
+        # (pad_final-padded) batch stays sharded — never replicated
+        ax = mesh.shape[batch_axis]
+        batch_size = -(-batch_size // ax) * ax
     scores: List[float] = []
     answers: List[str] = []
     indices: List[int] = []
     for batch in batch_iterator(dataset, batch_size, collator, shuffle=False):
         ids, mask = jnp.asarray(batch.passage_ids), jnp.asarray(batch.passage_mask)
-        # shard over the data axis only when the batch divides it; small eval
-        # batches (< mesh size) run replicated
-        if mesh is not None and len(ids) % mesh.shape["data"] == 0:
-            ids = jax.device_put(ids, batch_sharding(mesh, ids.ndim))
-            mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim))
+        if mesh is not None:
+            ids = jax.device_put(ids, batch_sharding(mesh, ids.ndim, batch_axis))
+            mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim, batch_axis))
         tokens, _ = generate_fn(params, ids, mask)
         decoded = tokenizer.batch_decode(np.asarray(tokens))
         for k, ans in enumerate(decoded):
@@ -203,7 +207,8 @@ def train_reader(
 
         patience += 1
         ev = evaluate_reader(generate_fn, state.params, eval_ds, collator,
-                             tokenizer, cfg.eval_batch_size, mesh)
+                             tokenizer, cfg.eval_batch_size, mesh,
+                             batch_axis=cfg.mesh.batch_axis)
         dev_em = ev["em"]
         history.append({"epoch": epoch, "loss": train_loss, "em": dev_em,
                         "seconds": time.time() - t0})

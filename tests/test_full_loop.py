@@ -27,7 +27,8 @@ def test_full_loop_two_iterations(tmp_path, capsys):
         "dtype": "float32",
         "data": {"n_context": 3, "text_maxlength": 24, "answer_maxlength": 4,
                  "stream": 2},
-        "optim": {"optim": "adamw", "lr": 1e-2, "weight_decay": 0.0},
+        # lr tuned for the HF-parity AdamW (correct_bias=False) dynamics
+        "optim": {"optim": "adamw", "lr": 3e-3, "weight_decay": 0.0},
     }
     retriever_cfg = {
         "per_device_batch_size": 1, "eval_batch_size": 8, "epochs": 1,

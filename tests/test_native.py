@@ -3,7 +3,8 @@
 import numpy as np
 import pytest
 
-from lako_tpu.retrieval.native import NativeIndex, build_native, native_available
+from lako_tpu.retrieval.native import (HostIndex, NativeIndex, build_native,
+                                       native_available)
 
 pytestmark = pytest.mark.skipif(not native_available(),
                                 reason="native toolchain unavailable")
@@ -123,3 +124,20 @@ class TestHostIndex:
         h_ids, _ = HostIndex(emb).rerank(cand, q)
         d_ids, _ = DenseIndex(emb).rerank(cand, q)
         np.testing.assert_array_equal(h_ids, d_ids)
+
+
+def test_host_rerank_non_positional_ids():
+    """HostIndex/NativeIndex rerank with offset external ids (id→row inversion)."""
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(16, 8)).astype(np.float32)
+    ids = np.arange(500, 516, dtype=np.int64)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    cand = np.array([[503, 510, 507], [515, 501, 504]])
+    for idx in filter(None, [
+        HostIndex(emb, ids=ids),
+        NativeIndex(emb, ids=ids) if native_available() else None,
+    ]):
+        out_ids, out_scores = idx.rerank(cand, q)
+        for b in range(2):
+            ref = {i: float(q[b] @ emb[i - 500]) for i in cand[b]}
+            assert list(out_ids[b]) == sorted(ref, key=lambda i: -ref[i])

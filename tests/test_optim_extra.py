@@ -61,3 +61,38 @@ def test_fixed_scheduler():
         updates, state = tx.update(grads, state, params)
     # adam with constant grads -> update magnitude ~= lr
     assert abs(float(updates["w"][0])) == pytest.approx(5e-3, rel=0.2)
+
+
+def test_adamw_matches_hf_no_bias_correction():
+    """The adamw path replicates HF AdamW(correct_bias=False)
+    (reference src/util.py:224): raw EMA moments, decoupled weight decay."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads_seq = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(5)]
+    lr, wd, b1, b2, eps = 1e-2, 0.1, 0.9, 0.999, 1e-6
+
+    # torch reference: HF's AdamW(correct_bias=False) == torch AdamW with the
+    # bias-correction terms removed; replicate it explicitly.
+    wt = torch.tensor(w0.copy())
+    m = torch.zeros_like(wt)
+    v = torch.zeros_like(wt)
+    for g_np in grads_seq:
+        g = torch.tensor(g_np)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        wt = wt - lr * m / (v.sqrt() + eps)
+        wt = wt - lr * wd * wt  # decoupled decay, HF order
+
+    cfg = OptimConfig(optim="adamw", lr=lr, weight_decay=wd, clip=1e9,
+                      scheduler="fixed", adam_b1=b1, adam_b2=b2, adam_eps=eps)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0.copy())}
+    state = tx.init(params)
+    for g_np in grads_seq:
+        updates, state = tx.update({"w": jnp.asarray(g_np)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.numpy(),
+                               rtol=2e-4, atol=2e-5)

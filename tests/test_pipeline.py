@@ -34,7 +34,7 @@ def workdir(tmp_path_factory):
         "dtype": "float32",
         "data": {"n_context": 3, "text_maxlength": 24, "answer_maxlength": 4,
                  "stream": 2},
-        "optim": {"optim": "adamw", "lr": 1e-2, "weight_decay": 0.0},
+        "optim": {"optim": "adamw", "lr": 3e-3, "weight_decay": 0.0},
     }
     retriever_cfg = {
         "checkpoint_dir": str(wd / "ckpt"), "name": "retriever",

@@ -73,7 +73,7 @@ def test_train_reader_overfits_fixture(tmp_path):
         dtype="float32",
         data=ReaderDataConfig(n_context=3, text_maxlength=24, answer_maxlength=4,
                               stream=2),
-        optim=OptimConfig(optim="adamw", lr=1e-2, weight_decay=0.0),
+        optim=OptimConfig(optim="adamw", lr=3e-3, weight_decay=0.0),
         mesh=MeshConfig(),
         checkpoint_dir=str(tmp_path),
         name="smoke",

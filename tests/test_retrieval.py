@@ -147,6 +147,37 @@ class TestDenseIndex:
             assert list(ids[b]) == sorted(ref, key=lambda i: -ref[i])
             assert (np.diff(scores[b]) <= 1e-6).all()
 
+    def test_rerank_non_positional_ids(self):
+        """rerank must invert the id→row mapping when corpus ids aren't
+        0..n-1 positional (ADVICE r1: raw ids used as row indices scored the
+        wrong embeddings, silently, via jnp.take clamping)."""
+        rng = np.random.default_rng(9)
+        emb = rng.normal(size=(20, 8)).astype(np.float32)
+        ids = np.arange(100, 120, dtype=np.int64)  # offset external ids
+        idx = DenseIndex(emb, ids=ids)
+        q = rng.normal(size=(2, 8)).astype(np.float32)
+        cand = np.array([[103, 110, 107], [119, 101, 104]])
+        out_ids, out_scores = idx.rerank(cand, q)
+        for b in range(2):
+            ref = {i: float(q[b] @ emb[i - 100]) for i in cand[b]}
+            assert list(out_ids[b]) == sorted(ref, key=lambda i: -ref[i])
+            for i, s in zip(out_ids[b], out_scores[b]):
+                assert s == pytest.approx(ref[int(i)], rel=1e-5)
+        with pytest.raises(KeyError):
+            idx.rerank(np.array([[999, 103, 110]]), q[:1])
+
+    def test_rerank_batched_matches_single(self):
+        """Internal batching returns identical results to one-call rerank."""
+        rng = np.random.default_rng(10)
+        emb = rng.normal(size=(64, 8)).astype(np.float32)
+        idx = DenseIndex(emb)
+        cand = rng.integers(0, 64, size=(9, 5)).astype(np.int64)
+        q = rng.normal(size=(9, 8)).astype(np.float32)
+        ids_a, sc_a = idx.rerank(cand, q, batch_size=4)
+        ids_b, sc_b = idx.rerank(cand, q, batch_size=1000)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        np.testing.assert_allclose(sc_a, sc_b, rtol=1e-6)
+
     def test_save_load(self, tmp_path):
         rng = np.random.default_rng(4)
         emb = rng.normal(size=(20, 8)).astype(np.float32)

@@ -30,7 +30,10 @@ def reference_walk_oracle(cross_logits, passage_ids, passage_mask, period_id,
     scores = np.where(passage_mask.reshape(B, 1, 1, K), cross_logits, 0.0)
     scores = scores.reshape(B, n_layers, n_heads, N, L)
     if last_half:
+        # reference chunks first, then reads n_layers from the chunked shape
+        # (src/model.py:155-158) — the final divisor uses the halved count
         scores = scores[:, n_layers // 2:]
+        n_layers = n_layers - n_layers // 2
     fact_stream = scores[:, :, :, 1, :].sum(axis=(1, 2))  # (B, L)
 
     def agg(vals, style):
