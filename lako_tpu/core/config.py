@@ -257,6 +257,15 @@ class ReaderTrainConfig(_ConfigBase):
     warmup_fraction: float = 0.06  # reference train_reader.py:261
     use_remat: bool = True  # = --use_checkpoint activation checkpointing
     dtype: str = "bfloat16"
+    # Decode backend for eval: "auto" uses the stacked scan-over-layers engine
+    # (models/t5/engine.py) whenever the model supports it, "flax" forces the
+    # layer-unrolled path, "engine" requires the engine (errors if unsupported).
+    decode_backend: str = "auto"
+    # "native" (model dtype) or "int8" cross-KV quantization for decode.
+    decode_kv_dtype: str = "native"
+    # Steps per device call for chunked early-exit decode (None = one call for
+    # the whole max_length; small values exit early on short answers).
+    decode_chunk_size: Optional[int] = None
     data: ReaderDataConfig = field(default_factory=ReaderDataConfig)
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(lr=4e-5))
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -182,15 +182,62 @@ def make_generate_fn(
     return fn
 
 
-def make_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int = 50
-                               ) -> Callable:
-    """Generate + ON-DEVICE fact-score aggregation in one executable:
+def make_best_generate_fn(
+    model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False,
+    keep_tokens=None, backend: str = "auto", kv_dtype: str = "native",
+    chunk_size=None, early_exit: bool = False,
+) -> Callable:
+    """Backend dispatcher: the stacked scan-over-layers engine
+    (models/t5/engine.py — the fast path) when the model supports it, the
+    layer-unrolled flax path otherwise.
+
+    backend: "auto" | "engine" | "flax". Token elimination (keep_tokens) and
+    early_exit-while-loop are flax-path-only features; the engine covers the
+    early-exit use case with chunk_size instead.
+    """
+    from lako_tpu.models.t5.engine import engine_supported, make_engine_generate_fn
+
+    engine_ok = (engine_supported(model.config) and keep_tokens is None
+                 and not early_exit)
+    if backend == "engine" and not engine_ok:
+        raise ValueError(
+            "decode_backend='engine' but the engine does not support this "
+            "configuration (FiDO stride / keep_tokens / early_exit)")
+    if backend != "flax" and engine_ok:
+        return make_engine_generate_fn(
+            model, max_length=max_length,
+            collect_cross_scores=collect_cross_scores,
+            kv_dtype=kv_dtype, chunk_size=chunk_size)
+    return make_generate_fn(model, max_length=max_length,
+                            collect_cross_scores=collect_cross_scores,
+                            early_exit=early_exit, keep_tokens=keep_tokens)
+
+
+def make_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int = 50,
+                               backend: str = "auto", kv_dtype: str = "native",
+                               chunk_size=None) -> Callable:
+    """Generate + ON-DEVICE fact-score aggregation:
     (params, ids, mask, fact_spans) → (tokens, fact_scores (B, n_context)).
 
     Only the tokens and n_context floats per example cross the host boundary —
     the (B, layers, heads, N·L) logits never leave the chip. This is the fast
-    path for the attention-generate stage."""
+    path for the attention-generate stage. Dispatches to the scan-over-layers
+    engine like :func:`make_best_generate_fn`."""
+    from lako_tpu.models.t5.engine import engine_supported
     from lako_tpu.signal.aggregate import aggregate_fact_scores_device
+
+    if backend != "flax" and engine_supported(model.config):
+        gen = make_best_generate_fn(
+            model, max_length=max_length, collect_cross_scores=True,
+            backend=backend, kv_dtype=kv_dtype, chunk_size=chunk_size)
+        score = jax.jit(lambda xl, mask, spans: aggregate_fact_scores_device(
+            xl, mask, spans, signal_cfg))
+
+        def fn(params, input_ids, mask, fact_spans):
+            tokens, xl = gen(params, input_ids, mask)
+            return tokens, score(xl, mask, fact_spans)
+
+        return fn
 
     @jax.jit
     def fn(params, input_ids, mask, fact_spans):

@@ -1,0 +1,486 @@
+"""Stacked-parameter greedy decode engine — the fast eval path.
+
+The reference's throughput-critical op is autoregressive generate at eval
+batch 128 / max_length 50 (test_reader.py:65-69, src/model.py:54-60). Round-1
+measurements put the per-layer decode cost ~2.6x above its HBM bandwidth floor
+with the layer-unrolled flax path. This engine restructures decode for the TPU
+memory system:
+
+- **Stacked parameters, scan over layers**: all decoder weights are stacked on
+  a leading layer axis once per eval run; the per-step computation is a single
+  ``lax.scan`` body executed num_layers times — one compiled layer body
+  instead of num_layers unrolled copies, O(1) compile scaling to t5-3b+.
+- **(B, h, d, K) KV layouts**: decode attention reads the whole KV working set
+  every step, so layouts are chosen for the reads. Keys AND values are stored
+  transposed with the key axis minor (128-lane aligned); q·K^T and probs·V are
+  then both contractions over a major/minor-aligned axis with d=64 kept in
+  sublanes. The self-attention cache is written once per step for all layers
+  (a single (l,B,h,d,1) dynamic-update) instead of per layer.
+- **Loop-invariant hoisting**: relative-position rows, cross-attention bias,
+  and cross K/V are computed once per generate call.
+- **Optional int8 cross-KV** (``kv_dtype="int8"``): the cross-attention K/V
+  read is the dominant HBM traffic at reference shapes (~24 layers x 2 x
+  (B,h,K,d) per step); symmetric per-(layer,batch,head,d) quantization halves
+  it vs bf16. Scales are exact per-channel maxima; greedy outputs are
+  verified against the bf16 path in tests.
+- **Chunked early exit**: scan a fixed chunk of steps per device call, check
+  all-rows-EOS on the host between chunks (answers are 1-5 tokens vs
+  max_length 50; dynamic-trip while_loops host-interpret on some runtimes).
+
+Numerics match the flax decode path (models/t5/decode.py) — pinned by
+tests/test_engine.py against greedy_generate on CPU.
+
+Unsupported (falls back to the flax path): FiDO cross_attention_stride
+(heterogeneous layers break the scan), beam search.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lako_tpu.core.config import T5Config
+from lako_tpu.models.t5.layers import NEG_INF, relative_position_bucket
+
+Array = jax.Array
+
+
+class StackedDecoder(NamedTuple):
+    """Decoder weights stacked on a leading (num_decoder_layers,) axis."""
+
+    ln_self: Array      # (l, H)
+    wq_self: Array      # (l, H, h*d)
+    wk_self: Array
+    wv_self: Array
+    wo_self: Array      # (l, h*d, H)
+    ln_cross: Array
+    wq_cross: Array
+    wk_cross: Array     # (l, H, kv_inner)
+    wv_cross: Array
+    wo_cross: Array
+    ln_mlp: Array
+    wi: Optional[Array]        # (l, H, F) — relu/simple act
+    wi_0: Optional[Array]      # gated act pair
+    wi_1: Optional[Array]
+    wo_mlp: Array              # (l, F, H)
+    final_ln: Array            # (H,)
+    embedding: Array           # (V, H)
+    relpos: Array              # (buckets, h)
+
+
+def engine_supported(cfg: T5Config) -> bool:
+    """True when the scan-over-layers engine can run this config (homogeneous
+    decoder layers: every layer cross-attends)."""
+    return all(cfg.has_cross_attention(i) for i in range(cfg.num_decoder_layers))
+
+
+def stack_decoder_params(params, cfg: T5Config, dtype=jnp.bfloat16) -> StackedDecoder:
+    """Extract + stack the decoder weights from a FiDT5 param tree.
+
+    One-time cost per eval run; weights are cast to the compute dtype here so
+    every decode step reads half-width parameters from HBM.
+    """
+    dec = params["t5"]["decoder"]
+    L = cfg.num_decoder_layers
+
+    def stack(path_fn):
+        return jnp.stack([jnp.asarray(path_fn(dec[f"block_{i}"]), dtype=dtype)
+                          for i in range(L)])
+
+    gated = cfg.is_gated_act
+    return StackedDecoder(
+        ln_self=stack(lambda b: b["ln_self"]["weight"]),
+        wq_self=stack(lambda b: b["self_attn"]["q"]["kernel"]),
+        wk_self=stack(lambda b: b["self_attn"]["k"]["kernel"]),
+        wv_self=stack(lambda b: b["self_attn"]["v"]["kernel"]),
+        wo_self=stack(lambda b: b["self_attn"]["o"]["kernel"]),
+        ln_cross=stack(lambda b: b["ln_cross"]["weight"]),
+        wq_cross=stack(lambda b: b["cross_attn"]["q"]["kernel"]),
+        wk_cross=stack(lambda b: b["cross_attn"]["k"]["kernel"]),
+        wv_cross=stack(lambda b: b["cross_attn"]["v"]["kernel"]),
+        wo_cross=stack(lambda b: b["cross_attn"]["o"]["kernel"]),
+        ln_mlp=stack(lambda b: b["ln_mlp"]["weight"]),
+        wi=None if gated else stack(lambda b: b["mlp"]["wi"]["kernel"]),
+        wi_0=stack(lambda b: b["mlp"]["wi_0"]["kernel"]) if gated else None,
+        wi_1=stack(lambda b: b["mlp"]["wi_1"]["kernel"]) if gated else None,
+        wo_mlp=stack(lambda b: b["mlp"]["wo"]["kernel"]),
+        final_ln=jnp.asarray(dec["final_ln"]["weight"], dtype=jnp.float32),
+        embedding=jnp.asarray(params["t5"]["shared"]["embedding"], dtype=dtype),
+        relpos=jnp.asarray(dec["relpos"]["rel_embedding"], dtype=jnp.float32),
+    )
+
+
+def _rms(x: Array, weight: Array, eps: float, dtype) -> Array:
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    y = (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(dtype)
+    return y * weight.astype(dtype)
+
+
+def _decode_relpos_rows(relpos: Array, cfg: T5Config, steps: int) -> Array:
+    """(steps, h, steps) self-attention bias rows: row[s] is the bias of query
+    position s against key positions 0..steps-1 (matches RelativePositionBias
+    with bidirectional=False)."""
+    context = jnp.arange(steps)[:, None]
+    memory = jnp.arange(steps)[None, :]
+    buckets = relative_position_bucket(
+        memory - context, bidirectional=False,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance,
+    )
+    values = jnp.take(relpos, buckets, axis=0)          # (q, k, h)
+    return jnp.transpose(values, (0, 2, 1))             # (steps, h, steps)
+
+
+class _Quantized(NamedTuple):
+    values: Array   # int8, (..., K)
+    scale: Array    # f32,  (..., 1) per-channel
+
+
+def _quantize_kv(x: Array) -> _Quantized:
+    """Symmetric int8 over the key axis (minor), exact per-channel scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return _Quantized(q.astype(jnp.int8), scale)
+
+
+class DecodeEngine:
+    """Greedy FiD decode with stacked decoder weights.
+
+    Usage::
+
+        eng = DecodeEngine(model, max_length=50)
+        tokens, cross_logits = eng.generate(params, input_ids, mask)
+
+    The flax model still runs the (batched, already-fast) encoder; only the
+    token-by-token decoder loop is replaced.
+    """
+
+    def __init__(self, model, max_length: int = 50,
+                 collect_cross_scores: bool = False,
+                 kv_dtype: str = "native",        # "native" | "int8"
+                 chunk_size: Optional[int] = None):
+        cfg = model.config
+        if not engine_supported(cfg):
+            raise ValueError(
+                "DecodeEngine requires homogeneous decoder layers "
+                "(cross_attention_stride unset); use models.t5.decode instead")
+        self.model = model
+        self.cfg = cfg
+        self.max_length = max_length
+        self.steps = max_length - 1
+        self.collect = collect_cross_scores
+        self.kv_dtype = kv_dtype
+        self.chunk_size = chunk_size
+        self.dtype = model.dtype
+        self._generate = jax.jit(self._generate_impl)
+        self._prefill = jax.jit(self._prefill_impl)
+        self._chunk = jax.jit(self._chunk_impl, static_argnums=(2,))
+
+    # ---- setup: encoder + stacked state ------------------------------------
+
+    def _encode(self, params, input_ids, mask):
+        enc, enc_mask = self.model.apply(
+            {"params": params}, input_ids, mask,
+            method=type(self.model).encode_passages)
+        return enc, enc_mask
+
+    def _project_cross_kv(self, sd: StackedDecoder, enc: Array):
+        """enc (B,K,H) → cross K/V stacked (l,B,hk,d,K), key axis minor."""
+        cfg = self.cfg
+        d = cfg.d_kv
+        B, K, H = enc.shape
+
+        def proj(w):
+            kv = jnp.einsum("bkh,lhe->lbke", enc, w)    # (l,B,K,hk*d)
+            hk = kv.shape[-1] // d
+            kv = kv.reshape(kv.shape[0], B, K, hk, d)
+            return jnp.transpose(kv, (0, 1, 3, 4, 2))   # (l,B,hk,d,K)
+
+        ck, cv = proj(sd.wk_cross), proj(sd.wv_cross)
+        if self.kv_dtype == "int8":
+            return _quantize_kv(ck), _quantize_kv(cv)
+        return ck, cv
+
+    # ---- one decode step (scan over layers) --------------------------------
+
+    def _layer_step(self, sd: StackedDecoder, x, xs, step, self_pos_bias,
+                    cross_bias, collect):
+        """x: (B, H) hidden; xs: per-layer slices. Returns (x, ys)."""
+        cfg = self.cfg
+        dtype = self.dtype
+        h, d = cfg.num_heads, cfg.d_kv
+        (ln_s, wq_s, wk_s, wv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
+         wi, wi0, wi1, wo_m, sk, sv, ck, cv) = xs
+        B = x.shape[0]
+
+        # --- self attention (cache holds steps 0..step-1; current k/v fresh)
+        xn = _rms(x, ln_s, cfg.layer_norm_epsilon, dtype)
+        q = (xn @ wq_s).reshape(B, h, d)
+        k_new = (xn @ wk_s).reshape(B, h, d)
+        v_new = (xn @ wv_s).reshape(B, h, d)
+        # sk/sv: (B, h, d, S) — logits over cached positions + current
+        logits = jnp.einsum("bhd,bhds->bhs", q, sk).astype(jnp.float32)
+        logit_now = jnp.sum(q * k_new, axis=-1).astype(jnp.float32)  # (B,h)
+        pos = jnp.arange(sk.shape[-1])
+        logits = jnp.where(pos[None, None, :] == step, logit_now[..., None],
+                           logits)
+        bias = jnp.where(pos[None, :] <= step, self_pos_bias, NEG_INF)  # (h,S)
+        logits = logits + bias[None]
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhs,bhds->bhd", probs, sv)
+        p_now = jnp.take_along_axis(
+            probs, jnp.full((B, h, 1), step, dtype=jnp.int32), axis=-1)
+        out = out + p_now * v_new
+        x = x + (out.reshape(B, h * d) @ wo_s)
+
+        # --- cross attention (precomputed K/V, possibly int8)
+        xn = _rms(x, ln_c, cfg.layer_norm_epsilon, dtype)
+        qc = (xn @ wq_c).reshape(B, h, d)
+        int8 = self.kv_dtype == "int8"
+        ckv = ck.values if int8 else ck    # (B, hk, d, K)
+        cvv = cv.values if int8 else cv
+        hk = ckv.shape[1]
+        if hk == h:
+            if int8:
+                # fold the per-(b,h,d) K scale into q: q·(k_i8·s) = (q·s)·k_i8
+                qq = (qc.astype(jnp.float32)
+                      * ck.scale[..., 0].astype(jnp.float32)).astype(dtype)
+            else:
+                qq = qc
+            cl = jnp.einsum("bhd,bhdk->bhk", qq,
+                            ckv.astype(dtype)).astype(jnp.float32)
+        else:  # multiquery: one shared K/V head broadcast over q heads
+            kd = ckv[:, 0].astype(dtype)                 # (B, d, K)
+            if int8:
+                qq = jnp.einsum(
+                    "bhd,bd->bhd", qc.astype(jnp.float32),
+                    ck.scale[:, 0, :, 0].astype(jnp.float32)).astype(dtype)
+            else:
+                qq = qc
+            cl = jnp.einsum("bhd,bdk->bhk", qq, kd).astype(jnp.float32)
+        cl = cl + cross_bias.astype(jnp.float32)         # (B,1,K) broadcast
+        cp = jax.nn.softmax(cl, axis=-1).astype(dtype)
+        if hk == h:
+            co = jnp.einsum("bhk,bhdk->bhd", cp, cvv.astype(dtype))
+            if int8:
+                co = (co.astype(jnp.float32)
+                      * cv.scale[..., 0].astype(jnp.float32)).astype(dtype)
+        else:
+            co = jnp.einsum("bhk,bdk->bhd", cp, cvv[:, 0].astype(dtype))
+            if int8:
+                co = (co.astype(jnp.float32)
+                      * cv.scale[:, 0, :, 0].astype(jnp.float32)[:, None]
+                      ).astype(dtype)
+        x = x + (co.reshape(B, h * d) @ wo_c)
+
+        # --- mlp
+        xn = _rms(x, ln_m, cfg.layer_norm_epsilon, dtype)
+        if wi is not None:
+            act = getattr(jax.nn, self.cfg.feed_forward_proj)(xn @ wi)
+        else:
+            gact = self.cfg.feed_forward_proj.removeprefix("gated-")
+            act = getattr(jax.nn, gact)(xn @ wi0) * (xn @ wi1)
+        x = x + (act @ wo_m)
+
+        ys = (k_new, v_new, cl if collect else jnp.zeros((), dtype=jnp.float32))
+        return x, ys
+
+    def _one_step(self, sd: StackedDecoder, tok, caches, cross_kv, relpos_rows,
+                  cross_bias, step, collect):
+        """tok (B,) int32 → (logits (B,V), cross_logits|(), new caches)."""
+        cfg = self.cfg
+        dtype = self.dtype
+        sk, sv = caches
+        ck, cv = cross_kv
+        x = jnp.take(sd.embedding, tok, axis=0)          # (B, H) in dtype
+        self_pos_bias = jax.lax.dynamic_index_in_dim(
+            relpos_rows, step, axis=0, keepdims=False)   # (h, S)
+
+        mlp_in = (sd.wi, sd.wi_0, sd.wi_1)
+        xs = (sd.ln_self, sd.wq_self, sd.wk_self, sd.wv_self, sd.wo_self,
+              sd.ln_cross, sd.wq_cross, sd.wo_cross, sd.ln_mlp,
+              *mlp_in, sd.wo_mlp, sk, sv, ck, cv)
+        # drop None mlp alternatives from the scan xs (scan needs arrays)
+        xs = tuple(z for z in xs if z is not None)
+
+        has_gate = sd.wi is None
+
+        def body(x, layer_xs):
+            it = iter(layer_xs)
+            ln_s, wq_s, wk_s, wv_s, wo_s = (next(it) for _ in range(5))
+            ln_c, wq_c, wo_c, ln_m = (next(it) for _ in range(4))
+            if has_gate:
+                wi, wi0, wi1 = None, next(it), next(it)
+            else:
+                wi, wi0, wi1 = next(it), None, None
+            wo_m, sk_l, sv_l = next(it), next(it), next(it)
+            if self.kv_dtype == "int8":
+                ck_l = _Quantized(next(it), next(it))
+                cv_l = _Quantized(next(it), next(it))
+            else:
+                ck_l, cv_l = next(it), next(it)
+            return self._layer_step(
+                sd, x, (ln_s, wq_s, wk_s, wv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
+                        wi, wi0, wi1, wo_m, sk_l, sv_l, ck_l, cv_l),
+                step, self_pos_bias, cross_bias, collect)
+
+        # flatten Quantized tuples into the scan xs
+        flat_xs = []
+        for z in xs:
+            if isinstance(z, _Quantized):
+                flat_xs.extend([z.values, z.scale])
+            else:
+                flat_xs.append(z)
+        x, (k_cols, v_cols, cross_logits) = jax.lax.scan(
+            body, x, tuple(flat_xs))
+
+        # single cache write for all layers: (l,B,h,d) column at `step`
+        new_sk = jax.lax.dynamic_update_slice(
+            sk, k_cols.astype(sk.dtype)[..., None], (0, 0, 0, 0, step))
+        new_sv = jax.lax.dynamic_update_slice(
+            sv, v_cols.astype(sv.dtype)[..., None], (0, 0, 0, 0, step))
+
+        x = _rms(x, sd.final_ln, cfg.layer_norm_epsilon, dtype)
+        if cfg.tie_word_embeddings:
+            x = x * (cfg.d_model ** -0.5)
+        logits = x @ sd.embedding.T                      # (B, V)
+        xl = None
+        if collect:
+            # (l, B, hk?, K) → (B, l, h, K) to match the flax capture layout
+            xl = jnp.transpose(cross_logits, (1, 0, 2, 3))
+        return logits, xl, (new_sk, new_sv)
+
+    # ---- generate ----------------------------------------------------------
+
+    def _init_state(self, params, input_ids, mask):
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        sd = stack_decoder_params(params, cfg, dtype=self.dtype)
+        enc, enc_mask = self._encode(params, input_ids, mask)
+        cross_kv = self._project_cross_kv(sd, enc)
+        cross_bias = jnp.where(enc_mask, 0.0, NEG_INF)[:, None, :]  # (B,1,K)
+        relpos_rows = _decode_relpos_rows(sd.relpos, cfg, self.steps)
+        h, d = cfg.num_heads, cfg.d_kv
+        zeros = jnp.zeros((cfg.num_decoder_layers, B, h, d, self.steps),
+                          dtype=self.dtype)
+        return sd, (zeros, zeros), cross_kv, cross_bias, relpos_rows
+
+    def _generate_impl(self, params, input_ids, mask):
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        sd, caches, cross_kv, cross_bias, relpos_rows = self._init_state(
+            params, input_ids, mask)
+
+        start = jnp.full((B,), cfg.decoder_start_token_id, dtype=jnp.int32)
+        logits0, xl0, caches = self._one_step(
+            sd, start, caches, cross_kv, relpos_rows, cross_bias,
+            jnp.int32(0), self.collect)
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        done0 = tok0 == cfg.eos_token_id
+
+        if self.steps > 1:
+            def scan_body(carry, step):
+                prev, done, caches_ = carry
+                logits, _, caches_ = self._one_step(
+                    sd, prev, caches_, cross_kv, relpos_rows, cross_bias,
+                    step, False)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = jnp.where(done, cfg.pad_token_id, tok)
+                done = done | (tok == cfg.eos_token_id)
+                return (tok, done, caches_), tok
+
+            (_, _, _), rest = jax.lax.scan(
+                scan_body, (tok0, done0, caches),
+                jnp.arange(1, self.steps, dtype=jnp.int32))
+            tokens = jnp.concatenate([tok0[:, None], rest.swapaxes(0, 1)],
+                                     axis=1)
+        else:
+            tokens = tok0[:, None]
+        return tokens, xl0
+
+    def generate(self, params, input_ids, mask):
+        """(params, (B,N,L) ids, (B,N,L) mask) → (tokens (B, steps),
+        first-step cross logits (B, l, h, N·L) | None)."""
+        if self.chunk_size:
+            return self._generate_chunked(params, input_ids, mask)
+        return self._generate(params, input_ids, mask)
+
+    # ---- chunked early-exit ------------------------------------------------
+
+    def _prefill_impl(self, params, input_ids, mask):
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        sd, caches, cross_kv, cross_bias, relpos_rows = self._init_state(
+            params, input_ids, mask)
+        start = jnp.full((B,), cfg.decoder_start_token_id, dtype=jnp.int32)
+        logits0, xl0, caches = self._one_step(
+            sd, start, caches, cross_kv, relpos_rows, cross_bias,
+            jnp.int32(0), self.collect)
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        done0 = tok0 == cfg.eos_token_id
+        return (sd, caches, cross_kv, cross_bias, relpos_rows), tok0, done0, xl0
+
+    def _chunk_impl(self, state, start_step, n_steps):
+        """Scan n_steps decode steps starting at start_step (traced)."""
+        cfg = self.cfg
+        (sd, caches, cross_kv, cross_bias, relpos_rows), prev, done = state
+
+        def scan_body(carry, i):
+            prev_, done_, caches_ = carry
+            step = start_step + i
+            logits, _, caches_ = self._one_step(
+                sd, prev_, caches_, cross_kv, relpos_rows, cross_bias,
+                step, False)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = jnp.where(done_, cfg.pad_token_id, tok)
+            done_ = done_ | (tok == cfg.eos_token_id)
+            return (tok, done_, caches_), tok
+
+        (prev, done, caches), toks = jax.lax.scan(
+            scan_body, (prev, done, caches),
+            jnp.arange(n_steps, dtype=jnp.int32))
+        return ((sd, caches, cross_kv, cross_bias, relpos_rows), prev, done), \
+            toks.swapaxes(0, 1), jnp.all(done)
+
+    def _generate_chunked(self, params, input_ids, mask):
+        """Host loop over fixed-size chunks with an all-EOS early exit between
+        chunks. Each chunk is one fixed-shape device call, so the trip count
+        never recompiles; short answers stop after the first chunk or two."""
+        B = input_ids.shape[0]
+        engine_state, tok0, done0, xl0 = self._prefill(params, input_ids, mask)
+        columns = [np.asarray(tok0)[:, None]]
+        state = (engine_state, tok0, done0)
+        step = 1
+        chunk = self.chunk_size
+        while step < self.steps:
+            n = min(chunk, self.steps - step)
+            state, toks, all_done = self._chunk(state, jnp.int32(step), n)
+            columns.append(np.asarray(toks))
+            step += n
+            if bool(all_done):
+                break
+        tokens = np.concatenate(columns, axis=1)
+        if tokens.shape[1] < self.steps:  # pad early-exited output
+            pad = np.full((B, self.steps - tokens.shape[1]),
+                          self.cfg.pad_token_id, dtype=tokens.dtype)
+            tokens = np.concatenate([tokens, pad], axis=1)
+        return jnp.asarray(tokens), xl0
+
+
+def make_engine_generate_fn(model, max_length: int = 50,
+                            collect_cross_scores: bool = False,
+                            kv_dtype: str = "native",
+                            chunk_size: Optional[int] = None):
+    """Drop-in replacement for decode.make_generate_fn using the engine."""
+    eng = DecodeEngine(model, max_length=max_length,
+                       collect_cross_scores=collect_cross_scores,
+                       kv_dtype=kv_dtype, chunk_size=chunk_size)
+
+    def fn(params, input_ids, mask):
+        return eng.generate(params, input_ids, mask)
+
+    return fn

@@ -39,6 +39,9 @@ class ServiceConfig:
     # token elimination (arXiv 2310.13682): keep only this many encoder states
     # for decode; None = all. Greedy path only.
     keep_tokens: Optional[int] = None
+    decode_backend: str = "auto"     # "auto" | "engine" | "flax"
+    decode_kv_dtype: str = "native"  # "native" | "int8"
+    decode_chunk_size: Optional[int] = None
 
 
 class LakoService:
@@ -67,8 +70,13 @@ class LakoService:
                                          num_beams=cfg.num_beams)
             self._generate = lambda p, i, m: (beam(p, i, m), None)
         else:
-            self._generate = make_generate_fn(self.model, max_length=cfg.max_length,
-                                              keep_tokens=cfg.keep_tokens)
+            from lako_tpu.models.t5.decode import make_best_generate_fn
+
+            self._generate = make_best_generate_fn(
+                self.model, max_length=cfg.max_length,
+                keep_tokens=cfg.keep_tokens, backend=cfg.decode_backend,
+                kv_dtype=cfg.decode_kv_dtype,
+                chunk_size=cfg.decode_chunk_size)
 
         self.retriever = retriever
         self.retriever_params = retriever_params

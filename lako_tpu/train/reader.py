@@ -26,7 +26,7 @@ from lako_tpu.core.logging import get_logger
 from lako_tpu.core.mesh import batch_sharding, make_mesh, replicated, shard_batch
 from lako_tpu.data import ReaderCollator, ReaderDataset, batch_iterator
 from lako_tpu.models.t5 import FiDT5
-from lako_tpu.models.t5.decode import make_generate_fn
+from lako_tpu.models.t5.decode import make_best_generate_fn
 from lako_tpu.text.metrics import ems
 from lako_tpu.train.optim import make_optimizer
 from lako_tpu.train.state import TrainState
@@ -178,7 +178,9 @@ def train_reader(
         state = TrainState.create(init_params, tx)
 
     train_step = make_reader_train_step(model)
-    generate_fn = make_generate_fn(model, max_length=cfg.eval_max_length)
+    generate_fn = make_best_generate_fn(
+        model, max_length=cfg.eval_max_length, backend=cfg.decode_backend,
+        kv_dtype=cfg.decode_kv_dtype, chunk_size=cfg.decode_chunk_size)
 
     patience = 0
     history: List[Dict[str, float]] = []

@@ -1,0 +1,99 @@
+"""Stacked-parameter decode engine parity vs the flax decode path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lako_tpu.core.config import T5Config
+from lako_tpu.models.t5.decode import greedy_generate
+from lako_tpu.models.t5.engine import DecodeEngine, engine_supported
+from lako_tpu.models.t5.model import FiDT5
+
+
+def _make(cfg_kwargs=None, seed=0, B=3, N=2, L=10):
+    cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
+                   num_layers=2, num_decoder_layers=3, num_heads=4,
+                   relative_attention_num_buckets=8, dropout_rate=0.0,
+                   **(cfg_kwargs or {}))
+    model = FiDT5(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(1, 64, size=(B, N, L)), jnp.int32)
+    mask = jnp.asarray(rng.random((B, N, L)) < 0.9)
+    labels = jnp.zeros((B, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), ids, mask, labels)["params"]
+    return model, params, ids, mask
+
+
+@pytest.mark.parametrize("collect", [False, True])
+def test_engine_matches_flax_decode(collect):
+    model, params, ids, mask = _make()
+    ref_tokens, ref_xl = greedy_generate(model, params, ids, mask,
+                                         max_length=8,
+                                         collect_cross_scores=collect)
+    eng = DecodeEngine(model, max_length=8, collect_cross_scores=collect)
+    tokens, xl = eng.generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+    if collect:
+        assert xl.shape == ref_xl.shape  # (B, layers, heads, N*L)
+        np.testing.assert_allclose(np.asarray(xl), np.asarray(ref_xl),
+                                   rtol=1e-4, atol=1e-4)
+    else:
+        assert xl is None
+
+
+def test_engine_multiquery_cross():
+    model, params, ids, mask = _make({"multiquery_cross_attention": True},
+                                     seed=3)
+    ref_tokens, _ = greedy_generate(model, params, ids, mask, max_length=8)
+    eng = DecodeEngine(model, max_length=8)
+    tokens, _ = eng.generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_engine_gated_act():
+    model, params, ids, mask = _make({"feed_forward_proj": "gated-gelu"},
+                                     seed=4)
+    ref_tokens, _ = greedy_generate(model, params, ids, mask, max_length=6)
+    eng = DecodeEngine(model, max_length=6)
+    tokens, _ = eng.generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_engine_chunked_early_exit_matches():
+    model, params, ids, mask = _make(seed=5)
+    eng = DecodeEngine(model, max_length=10)
+    ref_tokens, _ = eng.generate(params, ids, mask)
+    chunked = DecodeEngine(model, max_length=10, chunk_size=3)
+    tokens, _ = chunked.generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_engine_int8_kv_close():
+    model, params, ids, mask = _make(seed=6)
+    eng = DecodeEngine(model, max_length=8, collect_cross_scores=True)
+    ref_tokens, ref_xl = eng.generate(params, ids, mask)
+    q8 = DecodeEngine(model, max_length=8, collect_cross_scores=True,
+                      kv_dtype="int8")
+    tokens, xl = q8.generate(params, ids, mask)
+    # int8 KV: first-step cross logits within quantization tolerance and the
+    # overwhelming majority of greedy tokens unchanged
+    mask_flat = np.asarray(mask).reshape(mask.shape[0], -1)
+    valid = mask_flat[:, None, None, :]
+    err = np.abs(np.asarray(xl) - np.asarray(ref_xl)) * valid
+    scale = np.abs(np.asarray(ref_xl) * valid).max()
+    assert err.max() <= 0.05 * scale
+    agree = (np.asarray(tokens) == np.asarray(ref_tokens)).mean()
+    assert agree >= 0.9, agree
+
+
+def test_engine_rejects_fido_stride():
+    cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
+                   num_layers=1, num_decoder_layers=4, num_heads=4,
+                   relative_attention_num_buckets=8,
+                   cross_attention_stride=2)
+    assert not engine_supported(cfg)
+    model = FiDT5(cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        DecodeEngine(model)
