@@ -162,7 +162,8 @@ class DecodeEngine:
     def __init__(self, model, max_length: int = 50,
                  collect_cross_scores: bool = False,
                  kv_dtype: str = "native",        # "native" | "int8"
-                 chunk_size: Optional[int] = None):
+                 chunk_size: Optional[int] = None,
+                 layer_unroll: int = 1):
         cfg = model.config
         if not engine_supported(cfg):
             raise ValueError(
@@ -175,6 +176,10 @@ class DecodeEngine:
         self.collect = collect_cross_scores
         self.kv_dtype = kv_dtype
         self.chunk_size = chunk_size
+        # unroll factor for the layer scan: 1 = pure scan (smallest compile),
+        # num_decoder_layers = fully unrolled body (lets the scheduler prefetch
+        # every layer's weights); intermediate values trade the two off.
+        self.layer_unroll = layer_unroll
         self.dtype = model.dtype
         self._generate = jax.jit(self._generate_impl)
         self._prefill = jax.jit(self._prefill_impl)
@@ -336,7 +341,8 @@ class DecodeEngine:
             else:
                 flat_xs.append(z)
         x, (k_cols, v_cols, cross_logits) = jax.lax.scan(
-            body, x, tuple(flat_xs))
+            body, x, tuple(flat_xs),
+            unroll=min(self.layer_unroll, self.cfg.num_decoder_layers))
 
         # single cache write for all layers: (l,B,h,d) column at `step`
         new_sk = jax.lax.dynamic_update_slice(
@@ -474,11 +480,13 @@ class DecodeEngine:
 def make_engine_generate_fn(model, max_length: int = 50,
                             collect_cross_scores: bool = False,
                             kv_dtype: str = "native",
-                            chunk_size: Optional[int] = None):
+                            chunk_size: Optional[int] = None,
+                            layer_unroll: int = 1):
     """Drop-in replacement for decode.make_generate_fn using the engine."""
     eng = DecodeEngine(model, max_length=max_length,
                        collect_cross_scores=collect_cross_scores,
-                       kv_dtype=kv_dtype, chunk_size=chunk_size)
+                       kv_dtype=kv_dtype, chunk_size=chunk_size,
+                       layer_unroll=layer_unroll)
 
     def fn(params, input_ids, mask):
         return eng.generate(params, input_ids, mask)

@@ -94,14 +94,22 @@ def train_reader_stage(
                                              vocab_size=tokenizer.vocab_size)
     init_params = None
     if init_params_path:
-        model = FiDT5(t5_cfg)
-        B, N, L = 1, cfg.data.n_passages, cfg.data.text_maxlength
-        template = model.init(jax.random.PRNGKey(0),
-                              jnp.zeros((B, N, L), jnp.int32),
-                              jnp.ones((B, N, L), bool),
-                              jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
-                              )["params"]
-        init_params, _, _ = load_checkpoint(init_params_path, template)
+        from lako_tpu.models.hf_io import is_hf_checkpoint_dir, load_hf_t5
+
+        if is_hf_checkpoint_dir(init_params_path):
+            # warm start straight from an HF save_pretrained directory
+            # (single or sharded safetensors/bin) — the reference's load_t5
+            # path (src/model.py:79-82, train_reader.py:243-250)
+            t5_cfg, init_params = load_hf_t5(init_params_path)
+        else:
+            model = FiDT5(t5_cfg)
+            B, N, L = 1, cfg.data.n_passages, cfg.data.text_maxlength
+            template = model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((B, N, L), jnp.int32),
+                                  jnp.ones((B, N, L), bool),
+                                  jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
+                                  )["params"]
+            init_params, _, _ = load_checkpoint(init_params_path, template)
     result = train_reader(cfg, train_examples, eval_examples, tokenizer,
                           init_params=init_params, t5_config=t5_cfg)
     return {"best_dev_em": result.best_dev_em, "steps": result.final_step,
@@ -130,15 +138,20 @@ def eval_reader_stage(
     t5_cfg = t5_config or t5_config_for_size(cfg.model_size,
                                              vocab_size=tokenizer.vocab_size)
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = FiDT5(t5_cfg, dtype=dtype)
+    from lako_tpu.models.hf_io import is_hf_checkpoint_dir, load_hf_t5
 
-    B, N, L = 1, cfg.data.n_passages, cfg.data.text_maxlength
-    template = model.init(jax.random.PRNGKey(0),
-                          jnp.zeros((B, N, L), jnp.int32),
-                          jnp.ones((B, N, L), bool),
-                          jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
-                          )["params"]
-    params, _, _ = load_checkpoint(model_path, template)
+    if is_hf_checkpoint_dir(model_path):
+        t5_cfg, params = load_hf_t5(model_path)
+        model = FiDT5(t5_cfg, dtype=dtype)
+    else:
+        model = FiDT5(t5_cfg, dtype=dtype)
+        B, N, L = 1, cfg.data.n_passages, cfg.data.text_maxlength
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((B, N, L), jnp.int32),
+                              jnp.ones((B, N, L), bool),
+                              jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
+                              )["params"]
+        params, _, _ = load_checkpoint(model_path, template)
 
     collect = write_crossattention_scores is not None
     if num_beams > 1:

@@ -84,6 +84,14 @@ def main():
             model, max_length=args.max_length, chunk_size=8),
         "engine_scores": lambda: make_engine_generate_fn(
             model, max_length=args.max_length, collect_cross_scores=True),
+        "engine_unroll": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length,
+            layer_unroll=model.config.num_decoder_layers),
+        "engine_unroll4": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, layer_unroll=4),
+        "engine_unroll_int8": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, kv_dtype="int8",
+            layer_unroll=model.config.num_decoder_layers),
         "flax_scores": lambda: make_generate_fn(
             model, max_length=args.max_length, collect_cross_scores=True),
     }
