@@ -1,39 +1,44 @@
-"""Benchmark: t5-large FiD reader training throughput (examples/sec) on TPU.
+"""Benchmark suite: t5-large FiD training + decode throughput on TPU.
 
-Config mirrors the reference's headline training setup (run_okvqa_train.sh:6-10:
-t5-large, batch 8, stream 2 → N=2 passages, text_maxlength 130): one full
-jitted train step (forward + backward + AdamW update) in bfloat16 with encoder
-remat.
+Emits ONE JSON line. The headline metric stays the reference-faithful train
+config (run_okvqa_train.sh:6-10: t5-large, batch 8, stream 2 → N=2 passages,
+text_maxlength 130 — full jitted fwd+bwd+AdamW step, bf16 + encoder remat).
+The `extra` block carries the rest of the story (VERDICT r1 #2):
 
-vs_baseline compares against BASELINE_EXAMPLES_PER_SEC, an estimate of the
-PyTorch reference on its single-GPU setup (V100-class, fp32, batch 8: ~1.5 s/step
-→ ~5.3 ex/s). The reference repo publishes no timing (BASELINE.md), so this
-anchor is documented here and held fixed across rounds for comparability.
+- train_b32_l128_examples_per_sec: donated-state batch-32 config at the
+  tile-aligned L=128 (the throughput-optimal single-chip setup), with
+  model-FLOPs MFU so the claim is self-grounding;
+- decode_answers_per_sec: greedy decode at the reference eval config
+  (B=128, max_length 50, test_reader.py:65-69) via the stacked decode engine;
+- mfu_pct: 6·P·tokens / (dt·peak) against the v5e bf16 peak (197 TFLOP/s).
+
+vs_baseline divides by BASELINE_EXAMPLES_PER_SEC, a documented ESTIMATE of
+the PyTorch reference on its single-GPU setup (V100-class, fp32, batch 8:
+~1.5 s/step → ~5.3 ex/s). The reference repo publishes no timing
+(BASELINE.md); the anchor is held fixed across rounds for comparability.
 """
 
 import json
 import time
 
-BASELINE_EXAMPLES_PER_SEC = 5.3
+BASELINE_EXAMPLES_PER_SEC = 5.3  # documented estimate, see module docstring
+V5E_PEAK_BF16_FLOPS = 197e12
 
 
-def main():
+def _count_params(params):
+    import jax
+
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def _train_throughput(model, cfg, B, N, L, T, donate):
     import jax
     import jax.numpy as jnp
 
-    from lako_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from lako_tpu.core.config import OptimConfig, t5_config_for_size
-    from lako_tpu.models.t5 import FiDT5
+    from lako_tpu.core.config import OptimConfig
     from lako_tpu.train.optim import make_optimizer
     from lako_tpu.train.state import TrainState
 
-    cfg = t5_config_for_size("large", dropout_rate=0.0)
-    model = FiDT5(cfg, dtype=jnp.bfloat16, use_remat=True)
-
-    B, N, L, T = 8, 2, 130, 20
     rng = jax.random.PRNGKey(0)
     ids = jax.random.randint(rng, (B, N, L), 0, cfg.vocab_size, dtype=jnp.int32)
     mask = jnp.ones((B, N, L), dtype=bool)
@@ -41,12 +46,15 @@ def main():
 
     params = jax.jit(lambda r: model.init(r, ids, mask, labels)["params"])(rng)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    n_params = _count_params(params)
     tx = make_optimizer(OptimConfig(optim="adamw", lr=4e-5, weight_decay=0.1,
                                     scheduler="linear", warmup_steps=100,
                                     total_steps=10_000))
     state = TrainState.create(params, tx)
 
-    @jax.jit
+    donate_args = (0,) if donate else ()
+
+    @(lambda f: jax.jit(f, donate_argnums=donate_args))
     def train_step(state, ids, mask, labels):
         def loss_fn(p):
             loss, _, _ = model.apply({"params": p}, ids, mask, labels)
@@ -55,8 +63,8 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    # warmup / compile. NOTE: on the tunneled backend block_until_ready alone
-    # under-reports; a host transfer of a value that depends on the chained
+    # warmup / compile. On the tunneled backend block_until_ready alone
+    # under-reports; a host transfer of a value depending on the chained
     # computation is the only reliable fence.
     for _ in range(3):
         state, loss = train_step(state, ids, mask, labels)
@@ -69,12 +77,81 @@ def main():
     _ = float(loss)  # forced device->host sync through the full step chain
     dt = time.perf_counter() - t0
 
-    examples_per_sec = B * n_steps / dt
+    ex_per_sec = B * n_steps / dt
+    # model-FLOPs utilisation: 6·P·tokens per step (fwd 2PT + bwd 4PT),
+    # counting every encoder token (B·N·L) + decoder tokens (B·T)
+    tokens = B * (N * L + T)
+    mfu = (6.0 * n_params * tokens * n_steps) / (dt * V5E_PEAK_BF16_FLOPS)
+    del state
+    return ex_per_sec, mfu
+
+
+def _decode_throughput(model, cfg, B, N, L, max_length):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lako_tpu.models.t5.engine import make_engine_generate_fn
+
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (B, N, L), 0, cfg.vocab_size, dtype=jnp.int32)
+    mask = jnp.ones((B, N, L), dtype=bool)
+    labels = jnp.zeros((B, 8), jnp.int32)
+    params = jax.jit(lambda r: model.init(r, ids, mask, labels)["params"])(rng)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    fn = make_engine_generate_fn(
+        model, max_length=max_length,
+        layer_unroll=model.config.num_decoder_layers)
+    out = fn(params, ids, mask)
+    _ = int(np.asarray(out[0]).sum())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(params, ids, mask)
+        _ = int(np.asarray(out[0]).sum())
+        times.append(time.perf_counter() - t0)
+    return B / min(times[1:])
+
+
+def main():
+    import jax.numpy as jnp
+
+    from lako_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lako_tpu.core.config import t5_config_for_size
+    from lako_tpu.models.t5 import FiDT5
+
+    cfg = t5_config_for_size("large", dropout_rate=0.0)
+    model_remat = FiDT5(cfg, dtype=jnp.bfloat16, use_remat=True)
+    model_plain = FiDT5(cfg, dtype=jnp.bfloat16, use_remat=False)
+
+    # 1) reference-faithful headline: B=8, N=2, L=130
+    ref_ex_s, ref_mfu = _train_throughput(model_remat, cfg, B=8, N=2, L=130,
+                                          T=20, donate=False)
+    # 2) throughput config: donated state, B=32, tile-aligned L=128
+    b32_ex_s, b32_mfu = _train_throughput(model_remat, cfg, B=32, N=2, L=128,
+                                          T=20, donate=True)
+    # 3) decode at the reference eval config
+    dec_ans_s = _decode_throughput(model_plain, cfg, B=128, N=2, L=130,
+                                   max_length=50)
+
     print(json.dumps({
         "metric": "t5_large_fid_train_examples_per_sec",
-        "value": round(examples_per_sec, 2),
+        "value": round(ref_ex_s, 2),
         "unit": "examples/sec",
-        "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 2),
+        "vs_baseline": round(ref_ex_s / BASELINE_EXAMPLES_PER_SEC, 2),
+        "extra": {
+            "train_ref_mfu_pct": round(100 * ref_mfu, 1),
+            "train_b32_l128_examples_per_sec": round(b32_ex_s, 2),
+            "train_b32_l128_mfu_pct": round(100 * b32_mfu, 1),
+            "decode_answers_per_sec": round(dec_ans_s, 1),
+            "decode_config": "B=128 N=2 L=130 max_length=50 greedy engine",
+            "baseline_note": "vs_baseline anchor 5.3 ex/s is a documented "
+                             "estimate (see bench.py docstring)",
+        },
     }))
 
 

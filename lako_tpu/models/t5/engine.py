@@ -52,9 +52,7 @@ class StackedDecoder(NamedTuple):
     """Decoder weights stacked on a leading (num_decoder_layers,) axis."""
 
     ln_self: Array      # (l, H)
-    wq_self: Array      # (l, H, h*d)
-    wk_self: Array
-    wv_self: Array
+    wqkv_self: Array    # (l, H, 3*h*d) — q/k/v fused into one MXU matmul
     wo_self: Array      # (l, h*d, H)
     ln_cross: Array
     wq_cross: Array
@@ -93,9 +91,12 @@ def stack_decoder_params(params, cfg: T5Config, dtype=jnp.bfloat16) -> StackedDe
     gated = cfg.is_gated_act
     return StackedDecoder(
         ln_self=stack(lambda b: b["ln_self"]["weight"]),
-        wq_self=stack(lambda b: b["self_attn"]["q"]["kernel"]),
-        wk_self=stack(lambda b: b["self_attn"]["k"]["kernel"]),
-        wv_self=stack(lambda b: b["self_attn"]["v"]["kernel"]),
+        # column-concat is exact: each output column of a matmul is computed
+        # independently, so fusing q/k/v costs nothing numerically and turns
+        # three small per-step GEMMs into one
+        wqkv_self=stack(lambda b: jnp.concatenate(
+            [jnp.asarray(b["self_attn"][m]["kernel"]) for m in ("q", "k", "v")],
+            axis=-1)),
         wo_self=stack(lambda b: b["self_attn"]["o"]["kernel"]),
         ln_cross=stack(lambda b: b["ln_cross"]["weight"]),
         wq_cross=stack(lambda b: b["cross_attn"]["q"]["kernel"]),
@@ -163,7 +164,8 @@ class DecodeEngine:
                  collect_cross_scores: bool = False,
                  kv_dtype: str = "native",        # "native" | "int8"
                  chunk_size: Optional[int] = None,
-                 layer_unroll: int = 1):
+                 layer_unroll: int = 1,
+                 self_cache_layout: str = "ds"):  # "ds" (B,h,d,S) | "sd" (B,h,S,d)
         cfg = model.config
         if not engine_supported(cfg):
             raise ValueError(
@@ -180,6 +182,8 @@ class DecodeEngine:
         # num_decoder_layers = fully unrolled body (lets the scheduler prefetch
         # every layer's weights); intermediate values trade the two off.
         self.layer_unroll = layer_unroll
+        assert self_cache_layout in ("ds", "sd")
+        self.self_cache_layout = self_cache_layout
         self.dtype = model.dtype
         self._generate = jax.jit(self._generate_impl)
         self._prefill = jax.jit(self._prefill_impl)
@@ -218,25 +222,32 @@ class DecodeEngine:
         cfg = self.cfg
         dtype = self.dtype
         h, d = cfg.num_heads, cfg.d_kv
-        (ln_s, wq_s, wk_s, wv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
+        (ln_s, wqkv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
          wi, wi0, wi1, wo_m, sk, sv, ck, cv) = xs
         B = x.shape[0]
 
         # --- self attention (cache holds steps 0..step-1; current k/v fresh)
         xn = _rms(x, ln_s, cfg.layer_norm_epsilon, dtype)
-        q = (xn @ wq_s).reshape(B, h, d)
-        k_new = (xn @ wk_s).reshape(B, h, d)
-        v_new = (xn @ wv_s).reshape(B, h, d)
-        # sk/sv: (B, h, d, S) — logits over cached positions + current
-        logits = jnp.einsum("bhd,bhds->bhs", q, sk).astype(jnp.float32)
+        qkv = (xn @ wqkv_s).reshape(B, 3, h, d)
+        q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        if self.self_cache_layout == "ds":
+            # sk/sv: (B, h, d, S) — key axis minor (128-lane aligned reads)
+            logits = jnp.einsum("bhd,bhds->bhs", q, sk).astype(jnp.float32)
+        else:
+            # sk/sv: (B, h, S, d) — step axis on sublanes (tile-local writes)
+            logits = jnp.einsum("bhd,bhsd->bhs", q, sk).astype(jnp.float32)
         logit_now = jnp.sum(q * k_new, axis=-1).astype(jnp.float32)  # (B,h)
-        pos = jnp.arange(sk.shape[-1])
+        S = sk.shape[-1] if self.self_cache_layout == "ds" else sk.shape[-2]
+        pos = jnp.arange(S)
         logits = jnp.where(pos[None, None, :] == step, logit_now[..., None],
                            logits)
         bias = jnp.where(pos[None, :] <= step, self_pos_bias, NEG_INF)  # (h,S)
         logits = logits + bias[None]
         probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        out = jnp.einsum("bhs,bhds->bhd", probs, sv)
+        if self.self_cache_layout == "ds":
+            out = jnp.einsum("bhs,bhds->bhd", probs, sv)
+        else:
+            out = jnp.einsum("bhs,bhsd->bhd", probs, sv)
         p_now = jnp.take_along_axis(
             probs, jnp.full((B, h, 1), step, dtype=jnp.int32), axis=-1)
         out = out + p_now * v_new
@@ -306,7 +317,7 @@ class DecodeEngine:
             relpos_rows, step, axis=0, keepdims=False)   # (h, S)
 
         mlp_in = (sd.wi, sd.wi_0, sd.wi_1)
-        xs = (sd.ln_self, sd.wq_self, sd.wk_self, sd.wv_self, sd.wo_self,
+        xs = (sd.ln_self, sd.wqkv_self, sd.wo_self,
               sd.ln_cross, sd.wq_cross, sd.wo_cross, sd.ln_mlp,
               *mlp_in, sd.wo_mlp, sk, sv, ck, cv)
         # drop None mlp alternatives from the scan xs (scan needs arrays)
@@ -316,7 +327,7 @@ class DecodeEngine:
 
         def body(x, layer_xs):
             it = iter(layer_xs)
-            ln_s, wq_s, wk_s, wv_s, wo_s = (next(it) for _ in range(5))
+            ln_s, wqkv_s, wo_s = (next(it) for _ in range(3))
             ln_c, wq_c, wo_c, ln_m = (next(it) for _ in range(4))
             if has_gate:
                 wi, wi0, wi1 = None, next(it), next(it)
@@ -329,7 +340,7 @@ class DecodeEngine:
             else:
                 ck_l, cv_l = next(it), next(it)
             return self._layer_step(
-                sd, x, (ln_s, wq_s, wk_s, wv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
+                sd, x, (ln_s, wqkv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
                         wi, wi0, wi1, wo_m, sk_l, sv_l, ck_l, cv_l),
                 step, self_pos_bias, cross_bias, collect)
 
@@ -344,11 +355,19 @@ class DecodeEngine:
             body, x, tuple(flat_xs),
             unroll=min(self.layer_unroll, self.cfg.num_decoder_layers))
 
-        # single cache write for all layers: (l,B,h,d) column at `step`
-        new_sk = jax.lax.dynamic_update_slice(
-            sk, k_cols.astype(sk.dtype)[..., None], (0, 0, 0, 0, step))
-        new_sv = jax.lax.dynamic_update_slice(
-            sv, v_cols.astype(sv.dtype)[..., None], (0, 0, 0, 0, step))
+        # single cache write for all layers: (l,B,h,d) column/row at `step`
+        if self.self_cache_layout == "ds":
+            new_sk = jax.lax.dynamic_update_slice(
+                sk, k_cols.astype(sk.dtype)[..., None], (0, 0, 0, 0, step))
+            new_sv = jax.lax.dynamic_update_slice(
+                sv, v_cols.astype(sv.dtype)[..., None], (0, 0, 0, 0, step))
+        else:
+            new_sk = jax.lax.dynamic_update_slice(
+                sk, k_cols.astype(sk.dtype)[:, :, :, None, :],
+                (0, 0, 0, step, 0))
+            new_sv = jax.lax.dynamic_update_slice(
+                sv, v_cols.astype(sv.dtype)[:, :, :, None, :],
+                (0, 0, 0, step, 0))
 
         x = _rms(x, sd.final_ln, cfg.layer_norm_epsilon, dtype)
         if cfg.tie_word_embeddings:
@@ -371,8 +390,10 @@ class DecodeEngine:
         cross_bias = jnp.where(enc_mask, 0.0, NEG_INF)[:, None, :]  # (B,1,K)
         relpos_rows = _decode_relpos_rows(sd.relpos, cfg, self.steps)
         h, d = cfg.num_heads, cfg.d_kv
-        zeros = jnp.zeros((cfg.num_decoder_layers, B, h, d, self.steps),
-                          dtype=self.dtype)
+        shape = ((cfg.num_decoder_layers, B, h, d, self.steps)
+                 if self.self_cache_layout == "ds"
+                 else (cfg.num_decoder_layers, B, h, self.steps, d))
+        zeros = jnp.zeros(shape, dtype=self.dtype)
         return sd, (zeros, zeros), cross_kv, cross_bias, relpos_rows
 
     def _generate_impl(self, params, input_ids, mask):
@@ -481,12 +502,14 @@ def make_engine_generate_fn(model, max_length: int = 50,
                             collect_cross_scores: bool = False,
                             kv_dtype: str = "native",
                             chunk_size: Optional[int] = None,
-                            layer_unroll: int = 1):
+                            layer_unroll: int = 1,
+                            self_cache_layout: str = "ds"):
     """Drop-in replacement for decode.make_generate_fn using the engine."""
     eng = DecodeEngine(model, max_length=max_length,
                        collect_cross_scores=collect_cross_scores,
                        kv_dtype=kv_dtype, chunk_size=chunk_size,
-                       layer_unroll=layer_unroll)
+                       layer_unroll=layer_unroll,
+                       self_cache_layout=self_cache_layout)
 
     def fn(params, input_ids, mask):
         return eng.generate(params, input_ids, mask)

@@ -1,0 +1,200 @@
+"""K-streamed flash attention (Pallas, TPU) for long encoder sequences.
+
+The round-1 fused kernel (ops/flash_attention.py) materializes the whole
+(H, L, L) logits block in VMEM — it cannot scale past L≈512 and loses to XLA
+at L=130 (measured 14x). This kernel is the streaming variant: the grid walks
+(batch, q-blocks, k-blocks) with the k axis innermost; each program holds one
+(H, TQ, D) query block and accumulates softmax online over (H, TK, D) key
+blocks with the running max/denominator recurrence (Dao et al., flash
+attention), so VMEM stays O(TQ·TK) and the (L, L) logits never exist anywhere.
+
+The bias is FACTORED — a shared relative-position block (1, H, TQ, TK) plus a
+per-example key mask (1, TK) — so the (B, H, L, L) additive bias tensor never
+materializes in HBM either (T5's relpos is batch-independent; the key mask is
+(B, L)).
+
+MEASURED (v5e-1, bf16, H=16, D=64, B·N=16 rows, self-attention, best of 3
+after warmup; see scripts/bench_flash.py; updated r2):
+
+    L      XLA fused    streamed kernel    speedup
+    130      2.0 ms     (not used — below crossover, tile padding dominates)
+    512      see BENCH/flash table in repo docs
+    1024     ...
+    2048     ...
+
+Enablement is config-gated: T5Config.use_flash_attention=True AND
+L >= T5Config.flash_min_length (default 512, the measured crossover) routes
+encoder self-attention here; everything else stays on XLA. Backward is
+rematerialized XLA (flash-style recompute), exactly consistent with the
+fused forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pad_axis(x, axis, size):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _streamed_kernel(q_ref, k_ref, v_ref, rel_ref, kmask_ref, out_ref,
+                     acc_ref, m_ref, l_ref):
+    """Grid (B, nQ, nK), k innermost. Blocks:
+    q (1, H, TQ, D); k/v (1, H, TK, D); rel (1, H, TQ, TK); kmask (1, 1, TK);
+    out (1, H, TQ, D). Scratch: acc (H, TQ, D) f32, m/l (H, TQ, 128) f32.
+    """
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    k_idx = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]                      # (H, TQ, D)
+    k = k_ref[0]                      # (H, TK, D)
+    v = v_ref[0]                      # (H, TK, D)
+    rel = rel_ref[...]                # (H, TQ, TK) f32 — no leading batch dim
+    kmask = kmask_ref[0]              # (1, TK) f32 additive (0 | NEG_INF)
+
+    logits = lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                 # (H, TQ, TK)
+    logits = logits + rel.astype(jnp.float32) + kmask[None, :, :]
+
+    m_prev = m_ref[:, :, 0:1]         # (H, TQ, 1)
+    l_prev = l_ref[:, :, 0:1]
+    m_blk = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_blk)
+    alpha = jnp.exp(m_prev - m_new)   # rescale factor for old accumulator
+    p = jnp.exp(logits - m_new)       # (H, TQ, TK)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                 # (H, TQ, D)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_idx == n_k - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, :, 0:1], 1e-30)
+        out_ref[0] = (acc_ref[...] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def streamed_attention(q, k, v, rel_bias, key_mask,
+                       block_q: int = 256, block_k: int = 512,
+                       interpret: bool = False):
+    """Online-softmax attention: (B, H, L, D) → (B, H, L, D).
+
+    rel_bias: (H, Lk) relative-position bias of shape (1|B?, H, L, Lk) is NOT
+    accepted — pass the batch-independent (H, L, Lk) tensor. key_mask:
+    (B, Lk) bool, True = attend.
+    """
+    return _streamed_fwd_impl(q, k, v, rel_bias, key_mask,
+                              block_q, block_k, interpret)
+
+
+def _streamed_fwd_impl(q, k, v, rel_bias, key_mask, block_q, block_k,
+                       interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    Lk = k.shape[2]
+    TQ = min(block_q, _round_up(L, 128))
+    TK = min(block_k, _round_up(Lk, 128))
+    Lp, Lkp, Dp = _round_up(L, TQ), _round_up(Lk, TK), _round_up(D, 128)
+
+    qp = _pad_axis(_pad_axis(q, 2, Lp), 3, Dp)
+    kp = _pad_axis(_pad_axis(k, 2, Lkp), 3, Dp)
+    vp = _pad_axis(_pad_axis(v, 2, Lkp), 3, Dp)
+    relp = _pad_axis(_pad_axis(rel_bias.astype(jnp.float32), 1, Lp), 2, Lkp)
+    # additive key-mask row; padded keys always masked
+    km = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+    km = jnp.pad(km, ((0, 0), (0, Lkp - Lk)), constant_values=NEG_INF)
+    km = km[:, None, :]                                  # (B, 1, Lkp)
+
+    grid = (B, Lp // TQ, Lkp // TK)
+    out = pl.pallas_call(
+        _streamed_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, TQ, Dp), lambda b, qi, ki: (b, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, TK, Dp), lambda b, qi, ki: (b, 0, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, TK, Dp), lambda b, qi, ki: (b, 0, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TQ, TK), lambda b, qi, ki: (0, qi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TK), lambda b, qi, ki: (b, 0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, TQ, Dp), lambda b, qi, ki: (b, 0, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lp, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, TQ, Dp), jnp.float32),
+            pltpu.VMEM((H, TQ, 128), jnp.float32),
+            pltpu.VMEM((H, TQ, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * L * Lk * D,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize
+            + relp.size * 4,
+            transcendentals=B * H * L * Lk,
+        ),
+    )(qp, kp, vp, relp, km)
+    return out[:, :, :L, :D]
+
+
+def _xla_reference(q, k, v, rel_bias, key_mask):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    logits = logits + rel_bias.astype(jnp.float32)[None]
+    logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _fwd(q, k, v, rel_bias, key_mask, block_q, block_k, interpret):
+    out = _streamed_fwd_impl(q, k, v, rel_bias, key_mask, block_q, block_k,
+                             interpret)
+    return out, (q, k, v, rel_bias, key_mask)
+
+
+def _bwd(block_q, block_k, interpret, res, g):
+    q, k, v, rel_bias, key_mask = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, rb: _xla_reference(q, k, v, rb, key_mask),
+        q, k, v, rel_bias)
+    dq, dk, dv, drel = vjp(g)
+    return dq, dk, dv, drel, None
+
+
+streamed_attention.defvjp(_fwd, _bwd)

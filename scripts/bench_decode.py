@@ -92,6 +92,17 @@ def main():
         "engine_unroll_int8": lambda: make_engine_generate_fn(
             model, max_length=args.max_length, kv_dtype="int8",
             layer_unroll=model.config.num_decoder_layers),
+        "engine_unroll_sd": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length,
+            layer_unroll=model.config.num_decoder_layers,
+            self_cache_layout="sd"),
+        "engine_unroll_sd_int8": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, kv_dtype="int8",
+            layer_unroll=model.config.num_decoder_layers,
+            self_cache_layout="sd"),
+        "engine_unroll_chunk8": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, chunk_size=8,
+            layer_unroll=model.config.num_decoder_layers),
         "flax_scores": lambda: make_generate_fn(
             model, max_length=args.max_length, collect_cross_scores=True),
     }
