@@ -72,9 +72,14 @@ class T5Config(_ConfigBase):
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
-    # Fuse encoder self-attention into a single Pallas kernel (TPU only; used
-    # when attention-prob dropout is inactive). See lako_tpu/ops/flash_attention.
+    # Fuse encoder self-attention into a Pallas kernel (TPU only; used when
+    # attention-prob dropout is inactive). Sequences >= flash_min_length use
+    # the K-streamed online-softmax kernel (ops/flash_streamed.py, the
+    # measured-crossover default); shorter ones use the whole-block kernel
+    # (ops/flash_attention.py) — which loses to XLA at reference shapes, so
+    # the whole feature is off by default. Measure before enabling.
     use_flash_attention: bool = False
+    flash_min_length: int = 512
     # FiDO-style decoder optimizations (arXiv 2212.08153; see PAPERS.md) for
     # from-scratch training/serving — both change the architecture, so they are
     # OFF for HF-checkpoint parity:

@@ -159,11 +159,14 @@ class T5Attention(nn.Module):
         cache: Optional[Tuple[Array, Array]] = None,
         cache_index: Optional[Array] = None,
         allow_fused: bool = False,
+        stream_parts: Optional[Tuple[Array, Array]] = None,
     ):
         """bias: additive logits bias (1|B, heads|1, q, k) — already includes any
         key masking as NEG_INF. cache: (k, v) of shape (B, h, max_len, d) for
         incremental decoding; cache_index is the current write position.
-        allow_fused: permit the Pallas fused path (no logits output)."""
+        allow_fused: permit the Pallas fused path (no logits output).
+        stream_parts: (rel_bias (h, q, k), key_mask (B, k)) — factored bias for
+        the K-streamed kernel (long sequences); bias must be None then."""
         cfg = self.config
         q = self.split_heads(self.q(hidden))
         if cache is not None and kv is None:
@@ -178,6 +181,17 @@ class T5Attention(nn.Module):
             source = hidden if kv is None else kv
             k = self.split_kv_heads(self.k(source))
             v = self.split_kv_heads(self.v(source))
+
+        if stream_parts is not None:
+            import os
+
+            from lako_tpu.ops.flash_streamed import streamed_attention
+
+            assert bias is None and cache is None
+            rel, key_mask = stream_parts
+            interp = bool(os.environ.get("LAKO_FLASH_INTERPRET"))
+            out = streamed_attention(q, k, v, rel, key_mask, 256, 512, interp)
+            return self.o(self.merge_heads(out)), None, (k, v)
 
         if (allow_fused and cfg.use_flash_attention and cache is None
                 and (deterministic or cfg.dropout_rate == 0.0)):
@@ -254,11 +268,13 @@ class T5EncoderBlock(nn.Module):
         self.mlp = T5MLP(cfg, self.dtype, name="mlp")
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
 
-    def __call__(self, x: Array, bias: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, bias: Array, deterministic: bool = True,
+                 stream_parts=None) -> Array:
         # NOTE: `deterministic` is positional so nn.remat can mark it static.
         cfg = self.config
         h, _, _ = self.self_attn(self.ln_attn(x), bias=bias,
-                                 deterministic=deterministic, allow_fused=True)
+                                 deterministic=deterministic, allow_fused=True,
+                                 stream_parts=stream_parts)
         if not deterministic and cfg.dropout_rate > 0.0:
             h = self.dropout(h, deterministic=False)
         x = x + h

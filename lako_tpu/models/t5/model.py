@@ -50,16 +50,37 @@ class T5Encoder(nn.Module):
                                 name="final_ln")
         self.hidden_dropout = nn.Dropout(rate=cfg.dropout_rate)
 
+    def _use_streamed_flash(self, L: int, deterministic: bool) -> bool:
+        import os
+
+        cfg = self.config
+        if not (cfg.use_flash_attention and L >= cfg.flash_min_length):
+            return False
+        if not deterministic and cfg.dropout_rate > 0.0:
+            return False
+        if os.environ.get("LAKO_FLASH_INTERPRET"):
+            return True
+        from lako_tpu.ops.flash_attention import supports_fused_attention
+
+        return supports_fused_attention()
+
     def __call__(self, embeds: Array, mask: Array, *, deterministic: bool = True) -> Array:
         """embeds: (B, L, H) token embeddings; mask: (B, L) bool."""
         cfg = self.config
         L = embeds.shape[1]
-        bias = self.relpos(L, L) + mask_to_bias(mask)
         x = embeds
         if not deterministic and cfg.dropout_rate > 0.0:
             x = self.hidden_dropout(x, deterministic=False)
-        for block in self.blocks:
-            x = block(x, bias, deterministic)
+        if self._use_streamed_flash(L, deterministic):
+            # K-streamed kernel path: factored bias, the (B,h,L,L) additive
+            # tensor is never materialized (ops/flash_streamed.py)
+            rel = self.relpos(L, L)[0]                   # (h, L, L)
+            for block in self.blocks:
+                x = block(x, None, deterministic, (rel, mask))
+        else:
+            bias = self.relpos(L, L) + mask_to_bias(mask)
+            for block in self.blocks:
+                x = block(x, bias, deterministic)
         x = self.final_ln(x)
         if not deterministic and cfg.dropout_rate > 0.0:
             x = self.hidden_dropout(x, deterministic=False)

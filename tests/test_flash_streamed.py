@@ -59,3 +59,36 @@ def test_streamed_bf16():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
     assert err.mean() < 5e-3, err.mean()
     assert err.max() < 0.15, err.max()
+
+
+def test_encoder_integration_streamed_matches_standard(monkeypatch):
+    """T5Encoder routes through the streamed kernel when use_flash_attention
+    and L >= flash_min_length; outputs match the standard XLA path."""
+    from lako_tpu.core.config import T5Config
+    from lako_tpu.models.t5.model import T5Encoder
+
+    monkeypatch.setenv("LAKO_FLASH_INTERPRET", "1")
+    rng = np.random.default_rng(5)
+    L = 160
+    base = dict(vocab_size=32, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                num_decoder_layers=2, num_heads=4,
+                relative_attention_num_buckets=8, dropout_rate=0.0)
+    cfg_on = T5Config(**base, use_flash_attention=True, flash_min_length=128)
+    cfg_off = T5Config(**base)
+
+    embeds = jnp.asarray(rng.normal(size=(2, L, 32)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, L)) < 0.9).at[:, 0].set(True)
+
+    enc_on = T5Encoder(cfg_on, dtype=jnp.float32)
+    enc_off = T5Encoder(cfg_off, dtype=jnp.float32)
+    params = enc_off.init(jax.random.PRNGKey(0), embeds, mask)["params"]
+    ref = enc_off.apply({"params": params}, embeds, mask)
+    out = enc_on.apply({"params": params}, embeds, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # below the crossover the standard path is used even when enabled
+    short = embeds[:, :64], mask[:, :64]
+    ref_s = enc_off.apply({"params": params}, *short)
+    out_s = enc_on.apply({"params": params}, *short)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
+                               rtol=1e-6, atol=1e-6)

@@ -322,3 +322,32 @@ class TestShardedIndex:
         idx = ShardedDenseIndex(emb, mesh, ids=ids)
         out_ids, _ = idx.search(rng.normal(size=(2, 8)).astype(np.float32), k=3)
         assert out_ids.min() >= 500
+
+    @pytest.mark.slow
+    def test_reference_scale_corpus(self):
+        """300,600 x 256 — the exact LaKo KG scale
+        (generate_fact_embeddings.py:34,100) — through both DenseIndex and
+        ShardedDenseIndex at k=500, exact vs a numpy oracle (VERDICT r1 #6).
+        Query count kept small: this runs on the 8-device CPU mesh."""
+        from lako_tpu.core.config import MeshConfig
+        from lako_tpu.core.mesh import make_mesh
+        from lako_tpu.retrieval.index import ShardedDenseIndex
+
+        n, d, k, nq = 300_600, 256, 500, 4
+        rng = np.random.default_rng(8)
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+
+        oracle_scores = q @ emb.T
+        oracle_top = np.argsort(-oracle_scores, axis=1)[:, :k]
+
+        dense = DenseIndex(emb)
+        ids_d, sc_d = dense.search(q, k=k)
+        mesh = make_mesh(MeshConfig())
+        sharded = ShardedDenseIndex(emb, mesh)
+        ids_s, sc_s = sharded.search(q, k=k)
+
+        for row in range(nq):
+            assert set(map(int, ids_d[row])) == set(map(int, oracle_top[row]))
+            assert set(map(int, ids_s[row])) == set(map(int, oracle_top[row]))
+        np.testing.assert_allclose(sc_d, sc_s, rtol=1e-5)
