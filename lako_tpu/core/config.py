@@ -268,6 +268,10 @@ class ReaderTrainConfig(_ConfigBase):
     decode_backend: str = "auto"
     # "native" (model dtype) or "int8" cross-KV quantization for decode.
     decode_kv_dtype: str = "native"
+    # "native" or "int8" weight-only quantization for the decode engine's
+    # per-step matmul weights (halves the memory-bound step's HBM traffic;
+    # v5e MXU also doubles int8 throughput).
+    decode_weights_dtype: str = "native"
     # Steps per device call for chunked early-exit decode (None = one call for
     # the whole max_length; small values exit early on short answers).
     decode_chunk_size: Optional[int] = None

@@ -185,7 +185,7 @@ def make_generate_fn(
 def make_best_generate_fn(
     model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False,
     keep_tokens=None, backend: str = "auto", kv_dtype: str = "native",
-    chunk_size=None, early_exit: bool = False,
+    weights_dtype: str = "native", chunk_size=None, early_exit: bool = False,
 ) -> Callable:
     """Backend dispatcher: the stacked scan-over-layers engine
     (models/t5/engine.py — the fast path) when the model supports it, the
@@ -207,7 +207,8 @@ def make_best_generate_fn(
         return make_engine_generate_fn(
             model, max_length=max_length,
             collect_cross_scores=collect_cross_scores,
-            kv_dtype=kv_dtype, chunk_size=chunk_size)
+            kv_dtype=kv_dtype, weights_dtype=weights_dtype,
+            chunk_size=chunk_size)
     return make_generate_fn(model, max_length=max_length,
                             collect_cross_scores=collect_cross_scores,
                             early_exit=early_exit, keep_tokens=keep_tokens)
@@ -215,6 +216,7 @@ def make_best_generate_fn(
 
 def make_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int = 50,
                                backend: str = "auto", kv_dtype: str = "native",
+                               weights_dtype: str = "native",
                                chunk_size=None) -> Callable:
     """Generate + ON-DEVICE fact-score aggregation:
     (params, ids, mask, fact_spans) → (tokens, fact_scores (B, n_context)).
@@ -229,7 +231,8 @@ def make_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int = 50,
     if backend != "flax" and engine_supported(model.config):
         gen = make_best_generate_fn(
             model, max_length=max_length, collect_cross_scores=True,
-            backend=backend, kv_dtype=kv_dtype, chunk_size=chunk_size)
+            backend=backend, kv_dtype=kv_dtype, weights_dtype=weights_dtype,
+            chunk_size=chunk_size)
         score = jax.jit(lambda xl, mask, spans: aggregate_fact_scores_device(
             xl, mask, spans, signal_cfg))
 

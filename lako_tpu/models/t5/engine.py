@@ -23,6 +23,12 @@ memory system:
   (B,h,K,d) per step); symmetric per-(layer,batch,head,d) quantization halves
   it vs bf16. Scales are exact per-channel maxima; greedy outputs are
   verified against the bf16 path in tests.
+- **Optional int8 weights** (``weights_dtype="int8"``): every decode step
+  streams ALL decoder matmul weights (~330 MB bf16 for t5-large incl. the
+  (V,H) logits matrix) from HBM; symmetric per-output-channel weight-only
+  quantization halves that traffic. The int8→bf16 convert fuses into the
+  matmul (weight-only: activations stay bf16), so this is a pure
+  bandwidth win on the memory-bound decode loop.
 - **Chunked early exit**: scan a fixed chunk of steps per device call, check
   all-rows-EOS on the host between chunks (answers are 1-5 tokens vs
   max_length 50; dynamic-trip while_loops host-interpret on some runtimes).
@@ -75,41 +81,53 @@ def engine_supported(cfg: T5Config) -> bool:
     return all(cfg.has_cross_attention(i) for i in range(cfg.num_decoder_layers))
 
 
-def stack_decoder_params(params, cfg: T5Config, dtype=jnp.bfloat16) -> StackedDecoder:
+def stack_decoder_params(params, cfg: T5Config, dtype=jnp.bfloat16,
+                         weights_dtype: str = "native") -> StackedDecoder:
     """Extract + stack the decoder weights from a FiDT5 param tree.
 
     One-time cost per eval run; weights are cast to the compute dtype here so
-    every decode step reads half-width parameters from HBM.
+    every decode step reads half-width parameters from HBM. With
+    ``weights_dtype="int8"`` the per-step matmul weights (incl. the logits
+    embedding) are additionally quantized to symmetric per-output-channel
+    int8 (``_Quantized`` pairs), halving the per-step HBM weight traffic
+    again; cross K/V projections and layer norms stay in ``dtype`` (they run
+    once per generate call / are tiny).
     """
     dec = params["t5"]["decoder"]
     L = cfg.num_decoder_layers
+    int8 = weights_dtype == "int8"
 
     def stack(path_fn):
         return jnp.stack([jnp.asarray(path_fn(dec[f"block_{i}"]), dtype=dtype)
                           for i in range(L)])
 
+    def qstack(path_fn):
+        w = stack(path_fn)
+        return _quantize_weight(w) if int8 else w
+
     gated = cfg.is_gated_act
+    emb = jnp.asarray(params["t5"]["shared"]["embedding"], dtype=dtype)
     return StackedDecoder(
         ln_self=stack(lambda b: b["ln_self"]["weight"]),
         # column-concat is exact: each output column of a matmul is computed
         # independently, so fusing q/k/v costs nothing numerically and turns
         # three small per-step GEMMs into one
-        wqkv_self=stack(lambda b: jnp.concatenate(
+        wqkv_self=qstack(lambda b: jnp.concatenate(
             [jnp.asarray(b["self_attn"][m]["kernel"]) for m in ("q", "k", "v")],
             axis=-1)),
-        wo_self=stack(lambda b: b["self_attn"]["o"]["kernel"]),
+        wo_self=qstack(lambda b: b["self_attn"]["o"]["kernel"]),
         ln_cross=stack(lambda b: b["ln_cross"]["weight"]),
-        wq_cross=stack(lambda b: b["cross_attn"]["q"]["kernel"]),
+        wq_cross=qstack(lambda b: b["cross_attn"]["q"]["kernel"]),
         wk_cross=stack(lambda b: b["cross_attn"]["k"]["kernel"]),
         wv_cross=stack(lambda b: b["cross_attn"]["v"]["kernel"]),
-        wo_cross=stack(lambda b: b["cross_attn"]["o"]["kernel"]),
+        wo_cross=qstack(lambda b: b["cross_attn"]["o"]["kernel"]),
         ln_mlp=stack(lambda b: b["ln_mlp"]["weight"]),
-        wi=None if gated else stack(lambda b: b["mlp"]["wi"]["kernel"]),
-        wi_0=stack(lambda b: b["mlp"]["wi_0"]["kernel"]) if gated else None,
-        wi_1=stack(lambda b: b["mlp"]["wi_1"]["kernel"]) if gated else None,
-        wo_mlp=stack(lambda b: b["mlp"]["wo"]["kernel"]),
+        wi=None if gated else qstack(lambda b: b["mlp"]["wi"]["kernel"]),
+        wi_0=qstack(lambda b: b["mlp"]["wi_0"]["kernel"]) if gated else None,
+        wi_1=qstack(lambda b: b["mlp"]["wi_1"]["kernel"]) if gated else None,
+        wo_mlp=qstack(lambda b: b["mlp"]["wo"]["kernel"]),
         final_ln=jnp.asarray(dec["final_ln"]["weight"], dtype=jnp.float32),
-        embedding=jnp.asarray(params["t5"]["shared"]["embedding"], dtype=dtype),
+        embedding=_quantize_rows(emb) if int8 else emb,
         relpos=jnp.asarray(dec["relpos"]["rel_embedding"], dtype=jnp.float32),
     )
 
@@ -148,6 +166,45 @@ def _quantize_kv(x: Array) -> _Quantized:
     return _Quantized(q.astype(jnp.int8), scale)
 
 
+def _quantize_weight(w: Array) -> _Quantized:
+    """Symmetric int8 per OUTPUT channel for (..., in, out) matmul weights:
+    x@w == (x@w_i8)*scale exactly when w_i8 were exact, so the only error is
+    the per-column int8 rounding (≤ amax/254 per element)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return _Quantized(q.astype(jnp.int8), scale)
+
+
+def _quantize_rows(e: Array) -> _Quantized:
+    """Symmetric int8 per ROW for the (V, H) embedding — serves both the
+    token lookup (dequantize the taken rows) and the logits matmul
+    x@E.T == (x@E_i8.T)*scale.T."""
+    amax = jnp.max(jnp.abs(e.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(e.astype(jnp.float32) / scale), -127, 127)
+    return _Quantized(q.astype(jnp.int8), scale)
+
+
+def _take_embedding(emb, tok: Array, dtype) -> Array:
+    """Token lookup for a native or row-quantized embedding table."""
+    if isinstance(emb, _Quantized):
+        rows = jnp.take(emb.values, tok, axis=0).astype(jnp.float32)
+        return (rows * jnp.take(emb.scale, tok, axis=0)).astype(dtype)
+    return jnp.take(emb, tok, axis=0)
+
+
+def _mm(x: Array, w, dtype) -> Array:
+    """x @ w for native or int8-quantized weights. Weight-only: the int8
+    tensor is converted to the compute dtype in-register (the convert fuses
+    into the matmul), halving the HBM read without touching activations."""
+    if isinstance(w, _Quantized):
+        y = x @ w.values.astype(dtype)
+        return (y.astype(jnp.float32) * w.scale.astype(jnp.float32)
+                ).astype(dtype)
+    return x @ w
+
+
 class DecodeEngine:
     """Greedy FiD decode with stacked decoder weights.
 
@@ -163,6 +220,7 @@ class DecodeEngine:
     def __init__(self, model, max_length: int = 50,
                  collect_cross_scores: bool = False,
                  kv_dtype: str = "native",        # "native" | "int8"
+                 weights_dtype: str = "native",   # "native" | "int8"
                  chunk_size: Optional[int] = None,
                  layer_unroll: int = 1,
                  self_cache_layout: str = "ds"):  # "ds" (B,h,d,S) | "sd" (B,h,S,d)
@@ -177,6 +235,7 @@ class DecodeEngine:
         self.steps = max_length - 1
         self.collect = collect_cross_scores
         self.kv_dtype = kv_dtype
+        self.weights_dtype = weights_dtype
         self.chunk_size = chunk_size
         # unroll factor for the layer scan: 1 = pure scan (smallest compile),
         # num_decoder_layers = fully unrolled body (lets the scheduler prefetch
@@ -228,7 +287,7 @@ class DecodeEngine:
 
         # --- self attention (cache holds steps 0..step-1; current k/v fresh)
         xn = _rms(x, ln_s, cfg.layer_norm_epsilon, dtype)
-        qkv = (xn @ wqkv_s).reshape(B, 3, h, d)
+        qkv = _mm(xn, wqkv_s, dtype).reshape(B, 3, h, d)
         q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]
         if self.self_cache_layout == "ds":
             # sk/sv: (B, h, d, S) — key axis minor (128-lane aligned reads)
@@ -251,11 +310,11 @@ class DecodeEngine:
         p_now = jnp.take_along_axis(
             probs, jnp.full((B, h, 1), step, dtype=jnp.int32), axis=-1)
         out = out + p_now * v_new
-        x = x + (out.reshape(B, h * d) @ wo_s)
+        x = x + _mm(out.reshape(B, h * d), wo_s, dtype)
 
         # --- cross attention (precomputed K/V, possibly int8)
         xn = _rms(x, ln_c, cfg.layer_norm_epsilon, dtype)
-        qc = (xn @ wq_c).reshape(B, h, d)
+        qc = _mm(xn, wq_c, dtype).reshape(B, h, d)
         int8 = self.kv_dtype == "int8"
         ckv = ck.values if int8 else ck    # (B, hk, d, K)
         cvv = cv.values if int8 else cv
@@ -291,16 +350,18 @@ class DecodeEngine:
                 co = (co.astype(jnp.float32)
                       * cv.scale[:, 0, :, 0].astype(jnp.float32)[:, None]
                       ).astype(dtype)
-        x = x + (co.reshape(B, h * d) @ wo_c)
+        x = x + _mm(co.reshape(B, h * d), wo_c, dtype)
 
         # --- mlp
         xn = _rms(x, ln_m, cfg.layer_norm_epsilon, dtype)
         if wi is not None:
-            act = getattr(jax.nn, self.cfg.feed_forward_proj)(xn @ wi)
+            act = getattr(jax.nn, self.cfg.feed_forward_proj)(
+                _mm(xn, wi, dtype))
         else:
             gact = self.cfg.feed_forward_proj.removeprefix("gated-")
-            act = getattr(jax.nn, gact)(xn @ wi0) * (xn @ wi1)
-        x = x + (act @ wo_m)
+            act = getattr(jax.nn, gact)(_mm(xn, wi0, dtype)) \
+                * _mm(xn, wi1, dtype)
+        x = x + _mm(act, wo_m, dtype)
 
         ys = (k_new, v_new, cl if collect else jnp.zeros((), dtype=jnp.float32))
         return x, ys
@@ -312,47 +373,23 @@ class DecodeEngine:
         dtype = self.dtype
         sk, sv = caches
         ck, cv = cross_kv
-        x = jnp.take(sd.embedding, tok, axis=0)          # (B, H) in dtype
+        x = _take_embedding(sd.embedding, tok, self.dtype)  # (B, H) in dtype
         self_pos_bias = jax.lax.dynamic_index_in_dim(
             relpos_rows, step, axis=0, keepdims=False)   # (h, S)
 
-        mlp_in = (sd.wi, sd.wi_0, sd.wi_1)
+        # lax.scan slices every array leaf's leading (layer) axis; _Quantized
+        # pairs and None mlp alternatives pass through as pytree structure,
+        # so no manual flattening is needed.
         xs = (sd.ln_self, sd.wqkv_self, sd.wo_self,
               sd.ln_cross, sd.wq_cross, sd.wo_cross, sd.ln_mlp,
-              *mlp_in, sd.wo_mlp, sk, sv, ck, cv)
-        # drop None mlp alternatives from the scan xs (scan needs arrays)
-        xs = tuple(z for z in xs if z is not None)
-
-        has_gate = sd.wi is None
+              sd.wi, sd.wi_0, sd.wi_1, sd.wo_mlp, sk, sv, ck, cv)
 
         def body(x, layer_xs):
-            it = iter(layer_xs)
-            ln_s, wqkv_s, wo_s = (next(it) for _ in range(3))
-            ln_c, wq_c, wo_c, ln_m = (next(it) for _ in range(4))
-            if has_gate:
-                wi, wi0, wi1 = None, next(it), next(it)
-            else:
-                wi, wi0, wi1 = next(it), None, None
-            wo_m, sk_l, sv_l = next(it), next(it), next(it)
-            if self.kv_dtype == "int8":
-                ck_l = _Quantized(next(it), next(it))
-                cv_l = _Quantized(next(it), next(it))
-            else:
-                ck_l, cv_l = next(it), next(it)
-            return self._layer_step(
-                sd, x, (ln_s, wqkv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
-                        wi, wi0, wi1, wo_m, sk_l, sv_l, ck_l, cv_l),
-                step, self_pos_bias, cross_bias, collect)
+            return self._layer_step(sd, x, layer_xs, step, self_pos_bias,
+                                    cross_bias, collect)
 
-        # flatten Quantized tuples into the scan xs
-        flat_xs = []
-        for z in xs:
-            if isinstance(z, _Quantized):
-                flat_xs.extend([z.values, z.scale])
-            else:
-                flat_xs.append(z)
         x, (k_cols, v_cols, cross_logits) = jax.lax.scan(
-            body, x, tuple(flat_xs),
+            body, x, xs,
             unroll=min(self.layer_unroll, self.cfg.num_decoder_layers))
 
         # single cache write for all layers: (l,B,h,d) column/row at `step`
@@ -372,7 +409,11 @@ class DecodeEngine:
         x = _rms(x, sd.final_ln, cfg.layer_norm_epsilon, dtype)
         if cfg.tie_word_embeddings:
             x = x * (cfg.d_model ** -0.5)
-        logits = x @ sd.embedding.T                      # (B, V)
+        if isinstance(sd.embedding, _Quantized):
+            logits = ((x @ sd.embedding.values.T.astype(dtype))
+                      .astype(jnp.float32) * sd.embedding.scale.T)  # (B, V)
+        else:
+            logits = x @ sd.embedding.T                  # (B, V)
         xl = None
         if collect:
             # (l, B, hk?, K) → (B, l, h, K) to match the flax capture layout
@@ -384,7 +425,8 @@ class DecodeEngine:
     def _init_state(self, params, input_ids, mask):
         cfg = self.cfg
         B = input_ids.shape[0]
-        sd = stack_decoder_params(params, cfg, dtype=self.dtype)
+        sd = stack_decoder_params(params, cfg, dtype=self.dtype,
+                                  weights_dtype=self.weights_dtype)
         enc, enc_mask = self._encode(params, input_ids, mask)
         cross_kv = self._project_cross_kv(sd, enc)
         cross_bias = jnp.where(enc_mask, 0.0, NEG_INF)[:, None, :]  # (B,1,K)
@@ -501,13 +543,15 @@ class DecodeEngine:
 def make_engine_generate_fn(model, max_length: int = 50,
                             collect_cross_scores: bool = False,
                             kv_dtype: str = "native",
+                            weights_dtype: str = "native",
                             chunk_size: Optional[int] = None,
                             layer_unroll: int = 1,
                             self_cache_layout: str = "ds"):
     """Drop-in replacement for decode.make_generate_fn using the engine."""
     eng = DecodeEngine(model, max_length=max_length,
                        collect_cross_scores=collect_cross_scores,
-                       kv_dtype=kv_dtype, chunk_size=chunk_size,
+                       kv_dtype=kv_dtype, weights_dtype=weights_dtype,
+                       chunk_size=chunk_size,
                        layer_unroll=layer_unroll,
                        self_cache_layout=self_cache_layout)
 

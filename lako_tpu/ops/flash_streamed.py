@@ -13,20 +13,27 @@ per-example key mask (1, TK) — so the (B, H, L, L) additive bias tensor never
 materializes in HBM either (T5's relpos is batch-independent; the key mask is
 (B, L)).
 
-MEASURED (v5e-1, bf16, H=16, D=64, B·N=16 rows, self-attention, best of 3
-after warmup; see scripts/bench_flash.py; updated r2):
+MEASURED (v5e-1, bf16, H=16, D=64, B·N=16 rows, self-attention,
+scalar-reduction fence, 8 chained calls per timing, best of 5;
+scripts/bench_flash.py + block sweep, r2):
 
-    L      XLA fused    streamed kernel    speedup
-    130      2.0 ms     (not used — below crossover, tile padding dominates)
-    512      see BENCH/flash table in repo docs
-    1024     ...
-    2048     ...
+    L      XLA fused    streamed (TQ=512,TK=1024)    speedup
+    130      4.51 ms        4.06 ms                    1.11x
+    512      4.66 ms        4.67 ms                    1.00x
+    1024     7.67 ms        6.09 ms                    1.26x
+    2048    37.99 ms       13.74 ms                    2.77x  (XLA's
+                                          (B,H,L,L) f32 logits spill HBM)
 
-Enablement is config-gated: T5Config.use_flash_attention=True AND
-L >= T5Config.flash_min_length (default 512, the measured crossover) routes
-encoder self-attention here; everything else stays on XLA. Backward is
-rematerialized XLA (flash-style recompute), exactly consistent with the
-fused forward.
+Block sweep at L=2048: (256,512) 18.0 ms, (512,512) 15.8 ms, (512,1024)
+13.7 ms (best; default), (1024,1024) exceeds the 16 MB scoped-VMEM limit.
+
+Beyond the 2048 win, the kernel's O(L) memory (vs XLA's O(L^2) logits:
+16·16·2048²·4 = 4.3 GB at L=2048) is what lets long-context batches fit at
+all. Enablement is config-gated: T5Config.use_flash_attention=True AND
+L >= T5Config.flash_min_length (default 512: parity or better everywhere at
+or above it, plus the memory win) routes encoder self-attention here;
+everything else stays on XLA. Backward is rematerialized XLA (flash-style
+recompute), exactly consistent with the fused forward.
 """
 
 from __future__ import annotations
@@ -54,15 +61,19 @@ def _pad_axis(x, axis, size):
 
 def _streamed_kernel(q_ref, k_ref, v_ref, rel_ref, kmask_ref, out_ref,
                      acc_ref, m_ref, l_ref):
-    """Grid (B, nQ, nK), k innermost. Blocks:
-    q (1, H, TQ, D); k/v (1, H, TK, D); rel (1, H, TQ, TK); kmask (1, 1, TK);
-    out (1, H, TQ, D). Scratch: acc (H, TQ, D) f32, m/l (H, TQ, 128) f32.
+    """Grid (B, H, nQ, nK), k innermost. One (batch, head, q-block) per
+    program streaming over k-blocks — keeping the head axis in the grid (not
+    the block) bounds VMEM at ~1 MB/program (the all-heads variant OOMed
+    scoped vmem at L=512: its f32 rel block alone was H·TQ·TK·4 = 8 MB).
+    Blocks: q (1, 1, TQ, D); k/v (1, 1, TK, D); rel (1, TQ, TK);
+    kmask (1, 1, TK); out (1, 1, TQ, D). Scratch: acc (TQ, D) f32,
+    m/l (TQ, 128) f32.
     """
     import jax.lax as lax
     from jax.experimental import pallas as pl
 
-    k_idx = pl.program_id(2)
-    n_k = pl.num_programs(2)
+    k_idx = pl.program_id(3)
+    n_k = pl.num_programs(3)
 
     @pl.when(k_idx == 0)
     def _init():
@@ -70,44 +81,44 @@ def _streamed_kernel(q_ref, k_ref, v_ref, rel_ref, kmask_ref, out_ref,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]                      # (H, TQ, D)
-    k = k_ref[0]                      # (H, TK, D)
-    v = v_ref[0]                      # (H, TK, D)
-    rel = rel_ref[...]                # (H, TQ, TK) f32 — no leading batch dim
+    q = q_ref[0, 0]                   # (TQ, D)
+    k = k_ref[0, 0]                   # (TK, D)
+    v = v_ref[0, 0]                   # (TK, D)
+    rel = rel_ref[0]                  # (TQ, TK) f32
     kmask = kmask_ref[0]              # (1, TK) f32 additive (0 | NEG_INF)
 
     logits = lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                 # (H, TQ, TK)
-    logits = logits + rel.astype(jnp.float32) + kmask[None, :, :]
+    )                                 # (TQ, TK)
+    logits = logits + rel.astype(jnp.float32) + kmask
 
-    m_prev = m_ref[:, :, 0:1]         # (H, TQ, 1)
-    l_prev = l_ref[:, :, 0:1]
+    m_prev = m_ref[:, 0:1]            # (TQ, 1)
+    l_prev = l_ref[:, 0:1]
     m_blk = jnp.max(logits, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_blk)
     alpha = jnp.exp(m_prev - m_new)   # rescale factor for old accumulator
-    p = jnp.exp(logits - m_new)       # (H, TQ, TK)
+    p = jnp.exp(logits - m_new)       # (TQ, TK)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = lax.dot_general(
         p.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                 # (H, TQ, D)
+    )                                 # (TQ, D)
     acc_ref[...] = acc_ref[...] * alpha + pv
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(k_idx == n_k - 1)
     def _finalize():
-        denom = jnp.maximum(l_ref[:, :, 0:1], 1e-30)
-        out_ref[0] = (acc_ref[...] / denom).astype(out_ref.dtype)
+        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        out_ref[0, 0] = (acc_ref[...] / denom).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def streamed_attention(q, k, v, rel_bias, key_mask,
-                       block_q: int = 256, block_k: int = 512,
+                       block_q: int = 512, block_k: int = 1024,
                        interpret: bool = False):
     """Online-softmax attention: (B, H, L, D) → (B, H, L, D).
 
@@ -139,29 +150,30 @@ def _streamed_fwd_impl(q, k, v, rel_bias, key_mask, block_q, block_k,
     km = jnp.pad(km, ((0, 0), (0, Lkp - Lk)), constant_values=NEG_INF)
     km = km[:, None, :]                                  # (B, 1, Lkp)
 
-    grid = (B, Lp // TQ, Lkp // TK)
+    grid = (B, H, Lp // TQ, Lkp // TK)
     out = pl.pallas_call(
         _streamed_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, H, TQ, Dp), lambda b, qi, ki: (b, 0, qi, 0),
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, TK, Dp), lambda b, qi, ki: (b, 0, ki, 0),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, qi, ki: (b, h, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, TK, Dp), lambda b, qi, ki: (b, 0, ki, 0),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, qi, ki: (b, h, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, TQ, TK), lambda b, qi, ki: (0, qi, ki),
+            pl.BlockSpec((1, TQ, TK), lambda b, h, qi, ki: (h, qi, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TK), lambda b, qi, ki: (b, 0, ki),
+            pl.BlockSpec((1, 1, TK), lambda b, h, qi, ki: (b, 0, ki),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, TQ, Dp), lambda b, qi, ki: (b, 0, qi, 0),
+        out_specs=pl.BlockSpec((1, 1, TQ, Dp),
+                               lambda b, h, qi, ki: (b, h, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Lp, Dp), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((H, TQ, Dp), jnp.float32),
-            pltpu.VMEM((H, TQ, 128), jnp.float32),
-            pltpu.VMEM((H, TQ, 128), jnp.float32),
+            pltpu.VMEM((TQ, Dp), jnp.float32),
+            pltpu.VMEM((TQ, 128), jnp.float32),
+            pltpu.VMEM((TQ, 128), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -170,6 +170,7 @@ def eval_reader_stage(
         generate_score_fn = make_generate_and_score_fn(
             model, signal_cfg, max_length=cfg.eval_max_length,
             backend=cfg.decode_backend, kv_dtype=cfg.decode_kv_dtype,
+            weights_dtype=cfg.decode_weights_dtype,
             chunk_size=cfg.decode_chunk_size)
     else:
         from lako_tpu.models.t5.decode import make_best_generate_fn
@@ -177,6 +178,7 @@ def eval_reader_stage(
         generate_fn = make_best_generate_fn(
             model, max_length=cfg.eval_max_length, collect_cross_scores=False,
             backend=cfg.decode_backend, kv_dtype=cfg.decode_kv_dtype,
+            weights_dtype=cfg.decode_weights_dtype,
             chunk_size=cfg.decode_chunk_size)
 
     ds = ReaderDataset(examples, cfg.data, seed=cfg.seed)

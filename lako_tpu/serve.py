@@ -41,6 +41,7 @@ class ServiceConfig:
     keep_tokens: Optional[int] = None
     decode_backend: str = "auto"     # "auto" | "engine" | "flax"
     decode_kv_dtype: str = "native"  # "native" | "int8"
+    decode_weights_dtype: str = "native"  # "native" | "int8" (weight-only)
     decode_chunk_size: Optional[int] = None
 
 
@@ -76,6 +77,7 @@ class LakoService:
                 self.model, max_length=cfg.max_length,
                 keep_tokens=cfg.keep_tokens, backend=cfg.decode_backend,
                 kv_dtype=cfg.decode_kv_dtype,
+                weights_dtype=cfg.decode_weights_dtype,
                 chunk_size=cfg.decode_chunk_size)
 
         self.retriever = retriever

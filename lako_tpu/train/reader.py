@@ -180,7 +180,9 @@ def train_reader(
     train_step = make_reader_train_step(model)
     generate_fn = make_best_generate_fn(
         model, max_length=cfg.eval_max_length, backend=cfg.decode_backend,
-        kv_dtype=cfg.decode_kv_dtype, chunk_size=cfg.decode_chunk_size)
+        kv_dtype=cfg.decode_kv_dtype,
+        weights_dtype=cfg.decode_weights_dtype,
+        chunk_size=cfg.decode_chunk_size)
 
     patience = 0
     history: List[Dict[str, float]] = []

@@ -80,6 +80,14 @@ def main():
             model, max_length=args.max_length),
         "engine_int8": lambda: make_engine_generate_fn(
             model, max_length=args.max_length, kv_dtype="int8"),
+        "engine_w8": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, weights_dtype="int8"),
+        "engine_w8kv8": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, weights_dtype="int8",
+            kv_dtype="int8"),
+        "engine_unroll_w8kv8": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, weights_dtype="int8",
+            kv_dtype="int8", layer_unroll=model.config.num_decoder_layers),
         "engine_chunk8": lambda: make_engine_generate_fn(
             model, max_length=args.max_length, chunk_size=8),
         "engine_scores": lambda: make_engine_generate_fn(

@@ -15,15 +15,19 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def bench(fn, args, repeats=4):
-    out = fn(*args)
-    _ = float(np.asarray(out).astype(np.float32).sum())
+def bench(fn, args, repeats=6, inner=8):
+    """fn must return a SCALAR (on-device reduction): fencing by pulling the
+    full (B,H,L,D) output through the tunnel would swamp the kernel time
+    (67 MB at L=2048). `inner` chained calls amortize per-dispatch overhead."""
+    _ = float(fn(*args))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(np.asarray(out).astype(np.float32).sum())
-        times.append(time.perf_counter() - t0)
+        acc = 0.0
+        for _i in range(inner):
+            acc = fn(*args)
+        _ = float(acc)  # scalar host transfer fences the chain
+        times.append((time.perf_counter() - t0) / inner)
     return min(times[1:])
 
 
@@ -55,13 +59,18 @@ def main():
 
         xla = jax.jit(lambda q, k, v, rel, m: _xla_reference(q, k, v, rel, m))
         stream = jax.jit(lambda q, k, v, rel, m: streamed_attention(
-            q, k, v, rel, m, 256, 512, False))
+            q, k, v, rel, m, 512, 1024, False))
+        xla_s = jax.jit(lambda q, k, v, rel, m: jnp.sum(
+            _xla_reference(q, k, v, rel, m).astype(jnp.float32)))
+        stream_s = jax.jit(lambda q, k, v, rel, m: jnp.sum(
+            streamed_attention(q, k, v, rel, m, 512, 1024,
+                               False).astype(jnp.float32)))
 
         print(f"[bench_flash] L={L}: compiling XLA...", flush=True)
-        t_x = bench(xla, (q, k, v, rel, mask))
+        t_x = bench(xla_s, (q, k, v, rel, mask))
         print(f"[bench_flash] L={L}: XLA {t_x*1e3:.2f} ms; compiling "
               f"streamed...", flush=True)
-        t_s = bench(stream, (q, k, v, rel, mask))
+        t_s = bench(stream_s, (q, k, v, rel, mask))
         # numerics sanity on device
         dx = np.asarray(xla(q, k, v, rel, mask), np.float32)
         ds = np.asarray(stream(q, k, v, rel, mask), np.float32)

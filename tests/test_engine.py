@@ -88,6 +88,50 @@ def test_engine_int8_kv_close():
     assert agree >= 0.9, agree
 
 
+def test_quantize_weight_error_bound():
+    """Per-output-channel int8: reconstruction error ≤ scale/2 per element,
+    and x@w matches the quantized matmul within the propagated bound."""
+    from lako_tpu.models.t5.engine import _mm, _quantize_weight
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(16, 24)) * 3.0, jnp.float32)
+    qw = _quantize_weight(w)
+    recon = qw.values.astype(jnp.float32) * qw.scale
+    assert np.abs(np.asarray(recon - w)).max() <= np.asarray(qw.scale).max() / 2 + 1e-6
+    x = jnp.asarray(rng.normal(size=(5, 16)), jnp.float32)
+    y = _mm(x, qw, jnp.float32)
+    bound = (np.abs(np.asarray(x)).sum(1).max()
+             * np.asarray(qw.scale).max() / 2)
+    assert np.abs(np.asarray(y - x @ w)).max() <= bound + 1e-5
+
+
+def test_engine_int8_weights_close():
+    """Weight-only int8: greedy tokens overwhelmingly match and first-step
+    cross logits stay within quantization tolerance of the native engine."""
+    model, params, ids, mask = _make(seed=7)
+    eng = DecodeEngine(model, max_length=8, collect_cross_scores=True)
+    ref_tokens, ref_xl = eng.generate(params, ids, mask)
+    q8 = DecodeEngine(model, max_length=8, collect_cross_scores=True,
+                      weights_dtype="int8")
+    tokens, xl = q8.generate(params, ids, mask)
+    mask_flat = np.asarray(mask).reshape(mask.shape[0], -1)
+    valid = mask_flat[:, None, None, :]
+    err = np.abs(np.asarray(xl) - np.asarray(ref_xl)) * valid
+    scale = np.abs(np.asarray(ref_xl) * valid).max()
+    assert err.max() <= 0.1 * scale
+    agree = (np.asarray(tokens) == np.asarray(ref_tokens)).mean()
+    assert agree >= 0.85, agree
+
+
+def test_engine_int8_weights_gated_runs():
+    model, params, ids, mask = _make({"feed_forward_proj": "gated-gelu"},
+                                     seed=8)
+    q8 = DecodeEngine(model, max_length=6, weights_dtype="int8",
+                      kv_dtype="int8")
+    tokens, _ = q8.generate(params, ids, mask)
+    assert tokens.shape == (3, 5)
+
+
 def test_engine_rejects_fido_stride():
     cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
                    num_layers=1, num_decoder_layers=4, num_heads=4,

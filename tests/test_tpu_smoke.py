@@ -39,11 +39,23 @@ k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
 v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.bfloat16)
 rel = jnp.asarray(rng.normal(size=(H, L, L)), jnp.float32)
 mask = jnp.ones((B, L), bool)
+# f32 ground truth: both the XLA-bf16 path and the kernel carry bf16
+# rounding; the kernel must not be meaningfully LESS accurate than XLA's
+# own bf16 error (accumulation order differs, so don't compare bf16-vs-bf16
+# against a hard constant).
+truth = np.asarray(_xla_reference(q.astype(jnp.float32),
+                                  k.astype(jnp.float32),
+                                  v.astype(jnp.float32), rel, mask),
+                   np.float32)
 ref = np.asarray(_xla_reference(q, k, v, rel, mask), np.float32)
 out = np.asarray(streamed_attention(q, k, v, rel, mask, 128, 128, False),
                  np.float32)
-err = np.abs(ref - out)
-assert err.mean() < 5e-3 and err.max() < 0.2, (err.mean(), err.max())
+err_xla = np.abs(truth - ref)
+err_stream = np.abs(truth - out)
+assert err_stream.mean() <= 2 * err_xla.mean() + 1e-4, \
+    (err_stream.mean(), err_xla.mean())
+assert err_stream.max() <= 2 * err_xla.max() + 1e-3, \
+    (err_stream.max(), err_xla.max())
 print("FLASH_OK", flush=True)
 
 # 2) decode engine runs on hardware and matches the flax path
