@@ -145,6 +145,39 @@ class BertConfig(_ConfigBase):
     pad_token_id: int = 0
 
 
+@dataclass(frozen=True)
+class LxmertConfig(_ConfigBase):
+    """LXMERT architecture hyperparameters (unc-nlp/lxmert-base defaults;
+    reference wrapper: data_process/model/lxmert.py:6-26)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    l_layers: int = 9       # language self-attention stack
+    x_layers: int = 5       # cross-modality layers
+    r_layers: int = 5       # visual self-attention stack
+    visual_feat_dim: int = 2048
+    visual_pos_dim: int = 4
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+
+
+def lxmert_config_tiny() -> LxmertConfig:
+    return LxmertConfig(
+        vocab_size=100,
+        hidden_size=32,
+        num_attention_heads=4,
+        intermediate_size=64,
+        l_layers=2,
+        x_layers=1,
+        r_layers=1,
+        visual_feat_dim=16,
+    )
+
+
 def bert_config_tiny() -> BertConfig:
     return BertConfig(
         vocab_size=1000,

@@ -1,13 +1,13 @@
 """Host-side LXMERT adapter for caption / answer-candidate experiments.
 
-Reference: data_process/model/lxmert.py:6-85 — LXMERT is used only in the
-OFFLINE data-construction stage (generating answer candidates / attention
-analyses that feed the text pipeline), never in the TPU training path. It is a
-torch model family with no JAX weights available in this zero-egress
-environment, so we keep it as an optional host-CPU adapter around
-``transformers`` with the same knobs: optional fact-as-second-segment input,
-label-head resizing, attention outputs. Import is lazy; everything TPU-side is
-independent of this module.
+Reference: data_process/model/lxmert.py:6-85. NOTE: the PRIMARY LXMERT path
+is now the TPU-native flax implementation in ``models/lxmert/`` (model +
+weight importer + ``LxmertVQARunner`` with this same call surface, numeric
+parity pinned in tests/test_lxmert.py). This torch adapter remains as an
+optional host-CPU fallback for environments where only a torch checkpoint
+object is at hand: same knobs — optional fact-as-second-segment input,
+label-head resizing, attention outputs. Import is lazy; everything TPU-side
+is independent of this module.
 """
 
 from __future__ import annotations

@@ -8,8 +8,10 @@ memory system:
 
 - **Stacked parameters, scan over layers**: all decoder weights are stacked on
   a leading layer axis once per eval run; the per-step computation is a single
-  ``lax.scan`` body executed num_layers times — one compiled layer body
-  instead of num_layers unrolled copies, O(1) compile scaling to t5-3b+.
+  ``lax.scan`` body with a configurable unroll. Default unroll = all layers
+  (measured 2.4x faster than pure scan at t5-large — per-iteration scan
+  overhead dominates the memory-bound step); ``layer_unroll=1`` gives O(1)
+  compile scaling for t5-3b+.
 - **(B, h, d, K) KV layouts**: decode attention reads the whole KV working set
   every step, so layouts are chosen for the reads. Keys AND values are stored
   transposed with the key axis minor (128-lane aligned); q·K^T and probs·V are
@@ -38,6 +40,37 @@ tests/test_engine.py against greedy_generate on CPU.
 
 Unsupported (falls back to the flax path): FiDO cross_attention_stride
 (heterogeneous layers break the scan), beam search.
+
+MEASURED (v5e-1, t5-large, B=128, N=2, L=130, max_length=50 — the reference
+eval config, test_reader.py:65-69; scripts/bench_decode.py, r2). The round-1
+flax layer-unrolled path ran 147-156 ans/s; per-step HBM floor at bf16 is
+~5.7 ms (cross-KV 3.3 GB + weights 0.74 GB + self-KV 0.6 GB @ 819 GB/s):
+
+    variant                              s/batch   ans/s
+    engine, layer_unroll=24 (bf16)        0.782    163.7   <- default best:
+                                                   ~81% of the HBM floor
+    engine, scan unroll=1                 1.91      67.0   (per-iteration
+                                                   scan overhead dominates;
+                                                   use unroll for eval)
+    + kv_dtype=int8 (einsum dequant)      0.929    137.8   XLA materializes
+                                                   bf16 temps, negating the
+                                                   int8 HBM saving
+    + kv_dtype=int8mxu (int8x8 dots)      0.838    152.7   quantize-q/p
+                                                   overhead eats the win
+    + weights int8 (+kv int8)             0.908    140.9
+    + fused Pallas cross-attn (int8)      1.297     98.7   M=1 per-row grid
+                                                   is program-overhead-bound
+    chunk_size=16 (full 49 steps)         1.033    123.9   3 extra device
+                                                   calls x ~72 ms tunnel
+                                                   dispatch
+    chunk_size=16, answers <= 15 tokens   ~0.51 derived    ~250 ans/s: real
+                                                   VQA answers are 1-5
+                                                   tokens, so chunked early
+                                                   exit IS the eval win
+
+All int8/fused variants are measured NEGATIVE results at this config on this
+runtime — kept opt-in (they help when K is larger or per-call overhead is
+lower) with the bf16 unrolled engine as the default fast path.
 """
 
 from __future__ import annotations
@@ -219,10 +252,11 @@ class DecodeEngine:
 
     def __init__(self, model, max_length: int = 50,
                  collect_cross_scores: bool = False,
-                 kv_dtype: str = "native",        # "native" | "int8"
+                 kv_dtype: str = "native",   # "native" | "int8" | "int8mxu"
                  weights_dtype: str = "native",   # "native" | "int8"
+                 fused_cross: bool = False,       # Pallas int8 cross-attn
                  chunk_size: Optional[int] = None,
-                 layer_unroll: int = 1,
+                 layer_unroll: Optional[int] = None,
                  self_cache_layout: str = "ds"):  # "ds" (B,h,d,S) | "sd" (B,h,S,d)
         cfg = model.config
         if not engine_supported(cfg):
@@ -236,11 +270,14 @@ class DecodeEngine:
         self.collect = collect_cross_scores
         self.kv_dtype = kv_dtype
         self.weights_dtype = weights_dtype
+        self.fused_cross = fused_cross
         self.chunk_size = chunk_size
-        # unroll factor for the layer scan: 1 = pure scan (smallest compile),
-        # num_decoder_layers = fully unrolled body (lets the scheduler prefetch
-        # every layer's weights); intermediate values trade the two off.
-        self.layer_unroll = layer_unroll
+        # unroll factor for the layer scan: 1 = pure scan (smallest compile,
+        # but measured 2.4x slower — per-iteration overhead), full unroll =
+        # one copy per layer (the measured fast path; the DEFAULT). Set 1
+        # explicitly for very deep models where compile time matters more.
+        self.layer_unroll = (cfg.num_decoder_layers if layer_unroll is None
+                             else layer_unroll)
         assert self_cache_layout in ("ds", "sd")
         self.self_cache_layout = self_cache_layout
         self.dtype = model.dtype
@@ -269,7 +306,7 @@ class DecodeEngine:
             return jnp.transpose(kv, (0, 1, 3, 4, 2))   # (l,B,hk,d,K)
 
         ck, cv = proj(sd.wk_cross), proj(sd.wv_cross)
-        if self.kv_dtype == "int8":
+        if self.kv_dtype in ("int8", "int8mxu"):
             return _quantize_kv(ck), _quantize_kv(cv)
         return ck, cv
 
@@ -315,10 +352,61 @@ class DecodeEngine:
         # --- cross attention (precomputed K/V, possibly int8)
         xn = _rms(x, ln_c, cfg.layer_norm_epsilon, dtype)
         qc = _mm(xn, wq_c, dtype).reshape(B, h, d)
-        int8 = self.kv_dtype == "int8"
+        int8 = self.kv_dtype in ("int8", "int8mxu")
         ckv = ck.values if int8 else ck    # (B, hk, d, K)
         cvv = cv.values if int8 else cv
         hk = ckv.shape[1]
+        if self.kv_dtype == "int8mxu" and hk == h and not collect:
+            # int8 operands straight into the MXU (v5e runs int8x int8
+            # natively): quantize q (folding the per-channel K scale) and the
+            # attention probabilities per row, so the K/V HBM reads stay
+            # int8 end-to-end - no dequantized bf16 temporaries.
+            qs = (qc.astype(jnp.float32)
+                  * ck.scale[..., 0].astype(jnp.float32))         # (B,h,d)
+            q_amax = jnp.max(jnp.abs(qs), axis=-1, keepdims=True)
+            q_scale = jnp.maximum(q_amax, 1e-8) / 127.0
+            qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
+            cl = jax.lax.dot_general(
+                qi[:, :, None, :], ckv,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32)[:, :, 0, :]     # (B,h,K)
+            cl = cl.astype(jnp.float32) * q_scale
+            cl = cl + cross_bias.astype(jnp.float32)
+            cp = jax.nn.softmax(cl, axis=-1)                      # (B,h,K) f32
+            # probs are in [0,1]; per-row scale = row max
+            p_amax = jnp.max(cp, axis=-1, keepdims=True)
+            p_scale = jnp.maximum(p_amax, 1e-8) / 127.0
+            pi = jnp.clip(jnp.round(cp / p_scale), -127, 127).astype(jnp.int8)
+            co = jax.lax.dot_general(
+                pi[:, :, None, :], cvv,
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32)[:, :, 0, :]     # (B,h,d)
+            co = (co.astype(jnp.float32) * p_scale
+                  * cv.scale[..., 0].astype(jnp.float32)).astype(dtype)
+            x = x + _mm(co.reshape(B, h * d), wo_c, dtype)
+            x = self._mlp(x, ln_m, wi, wi0, wi1, wo_m)
+            ys = (k_new, v_new, jnp.zeros((), dtype=jnp.float32))
+            return x, ys
+        if self.fused_cross and int8 and hk == h and not collect:
+            # fused Pallas kernel: streams the int8 K/V bytes and dequantizes
+            # in-register (the einsum path materializes bf16 temporaries,
+            # giving the int8 bandwidth saving right back). Score capture
+            # (collect, first step only) keeps the einsum path since the
+            # kernel does not expose logits.
+            import os
+
+            from lako_tpu.ops.decode_cross_attn import \
+                fused_decode_cross_attention
+
+            interp = (bool(os.environ.get("LAKO_FLASH_INTERPRET"))
+                      or jax.default_backend() not in ("tpu", "axon"))
+            co = fused_decode_cross_attention(
+                qc, ck.values, ck.scale, cv.values, cv.scale, cross_bias,
+                interpret=interp).astype(dtype)
+            x = x + _mm(co.reshape(B, h * d), wo_c, dtype)
+            x = self._mlp(x, ln_m, wi, wi0, wi1, wo_m)
+            ys = (k_new, v_new, jnp.zeros((), dtype=jnp.float32))
+            return x, ys
         if hk == h:
             if int8:
                 # fold the per-(b,h,d) K scale into q: q·(k_i8·s) = (q·s)·k_i8
@@ -351,9 +439,14 @@ class DecodeEngine:
                       * cv.scale[:, 0, :, 0].astype(jnp.float32)[:, None]
                       ).astype(dtype)
         x = x + _mm(co.reshape(B, h * d), wo_c, dtype)
+        x = self._mlp(x, ln_m, wi, wi0, wi1, wo_m)
 
-        # --- mlp
-        xn = _rms(x, ln_m, cfg.layer_norm_epsilon, dtype)
+        ys = (k_new, v_new, cl if collect else jnp.zeros((), dtype=jnp.float32))
+        return x, ys
+
+    def _mlp(self, x, ln_m, wi, wi0, wi1, wo_m):
+        dtype = self.dtype
+        xn = _rms(x, ln_m, self.cfg.layer_norm_epsilon, dtype)
         if wi is not None:
             act = getattr(jax.nn, self.cfg.feed_forward_proj)(
                 _mm(xn, wi, dtype))
@@ -361,10 +454,7 @@ class DecodeEngine:
             gact = self.cfg.feed_forward_proj.removeprefix("gated-")
             act = getattr(jax.nn, gact)(_mm(xn, wi0, dtype)) \
                 * _mm(xn, wi1, dtype)
-        x = x + _mm(act, wo_m, dtype)
-
-        ys = (k_new, v_new, cl if collect else jnp.zeros((), dtype=jnp.float32))
-        return x, ys
+        return x + _mm(act, wo_m, dtype)
 
     def _one_step(self, sd: StackedDecoder, tok, caches, cross_kv, relpos_rows,
                   cross_bias, step, collect):
@@ -544,14 +634,15 @@ def make_engine_generate_fn(model, max_length: int = 50,
                             collect_cross_scores: bool = False,
                             kv_dtype: str = "native",
                             weights_dtype: str = "native",
+                            fused_cross: bool = False,
                             chunk_size: Optional[int] = None,
-                            layer_unroll: int = 1,
+                            layer_unroll: Optional[int] = None,
                             self_cache_layout: str = "ds"):
     """Drop-in replacement for decode.make_generate_fn using the engine."""
     eng = DecodeEngine(model, max_length=max_length,
                        collect_cross_scores=collect_cross_scores,
                        kv_dtype=kv_dtype, weights_dtype=weights_dtype,
-                       chunk_size=chunk_size,
+                       fused_cross=fused_cross, chunk_size=chunk_size,
                        layer_unroll=layer_unroll,
                        self_cache_layout=self_cache_layout)
 

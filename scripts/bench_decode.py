@@ -44,9 +44,6 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--length", type=int, default=130)
     ap.add_argument("--max-length", type=int, default=50)
-    ap.add_argument("--eos-at", type=int, default=None,
-                    help="force EOS as the argmax after this many steps by "
-                         "biasing the LM head (for chunked early-exit timing)")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +85,17 @@ def main():
         "engine_unroll_w8kv8": lambda: make_engine_generate_fn(
             model, max_length=args.max_length, weights_dtype="int8",
             kv_dtype="int8", layer_unroll=model.config.num_decoder_layers),
+        "engine_unroll_i8mxu": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, kv_dtype="int8mxu",
+            layer_unroll=model.config.num_decoder_layers),
+        "engine_unroll_fused": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, kv_dtype="int8",
+            fused_cross=True,
+            layer_unroll=model.config.num_decoder_layers),
+        "engine_unroll_fused_w8": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, kv_dtype="int8",
+            weights_dtype="int8", fused_cross=True,
+            layer_unroll=model.config.num_decoder_layers),
         "engine_chunk8": lambda: make_engine_generate_fn(
             model, max_length=args.max_length, chunk_size=8),
         "engine_scores": lambda: make_engine_generate_fn(
@@ -110,6 +118,9 @@ def main():
             self_cache_layout="sd"),
         "engine_unroll_chunk8": lambda: make_engine_generate_fn(
             model, max_length=args.max_length, chunk_size=8,
+            layer_unroll=model.config.num_decoder_layers),
+        "engine_unroll_chunk16": lambda: make_engine_generate_fn(
+            model, max_length=args.max_length, chunk_size=16,
             layer_unroll=model.config.num_decoder_layers),
         "flax_scores": lambda: make_generate_fn(
             model, max_length=args.max_length, collect_cross_scores=True),
