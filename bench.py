@@ -31,6 +31,24 @@ def _count_params(params):
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 
 
+def _train_flops_per_step(params, B, N, L, T):
+    """Model FLOPs of one fwd+bwd step (6 = 2 fwd + 4 bwd per param-token).
+
+    Encoder-decoder models must NOT use 6*P_total*tokens_total: encoder
+    tokens never flow through decoder weights (that naive formula reported
+    131% MFU). Per-component: encoder params x B*N*L encoder tokens, decoder
+    params x B*T decoder tokens, plus the logits matmul (V*H per decoder
+    token; the tied embedding's input lookups are gather, not FLOPs).
+    """
+    import jax
+
+    count = lambda t: sum(x.size for x in jax.tree_util.tree_leaves(t))
+    p_enc = count(params["t5"]["encoder"])
+    p_dec = count(params["t5"]["decoder"])
+    v, h = params["t5"]["shared"]["embedding"].shape
+    return 6.0 * (p_enc * B * N * L + (p_dec + v * h) * B * T)
+
+
 def _train_throughput(model, cfg, B, N, L, T, donate):
     import jax
     import jax.numpy as jnp
@@ -46,7 +64,7 @@ def _train_throughput(model, cfg, B, N, L, T, donate):
 
     params = jax.jit(lambda r: model.init(r, ids, mask, labels)["params"])(rng)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
-    n_params = _count_params(params)
+    flops_per_step = _train_flops_per_step(params, B, N, L, T)
     tx = make_optimizer(OptimConfig(optim="adamw", lr=4e-5, weight_decay=0.1,
                                     scheduler="linear", warmup_steps=100,
                                     total_steps=10_000))
@@ -78,10 +96,7 @@ def _train_throughput(model, cfg, B, N, L, T, donate):
     dt = time.perf_counter() - t0
 
     ex_per_sec = B * n_steps / dt
-    # model-FLOPs utilisation: 6·P·tokens per step (fwd 2PT + bwd 4PT),
-    # counting every encoder token (B·N·L) + decoder tokens (B·T)
-    tokens = B * (N * L + T)
-    mfu = (6.0 * n_params * tokens * n_steps) / (dt * V5E_PEAK_BF16_FLOPS)
+    mfu = (flops_per_step * n_steps) / (dt * V5E_PEAK_BF16_FLOPS)
     del state
     return ex_per_sec, mfu
 
@@ -114,6 +129,27 @@ def _decode_throughput(model, cfg, B, N, L, max_length):
     return B / min(times[1:])
 
 
+def _retrieval_qps(n_corpus=300_600, dim=256, n_queries=2048, k=500):
+    """Reference-scale dense retrieval (LaKo KG = 300,600 facts,
+    generate_fact_embeddings.py:34,100): top-500 exact MIPS queries/sec on
+    the single chip. scripts/bench_retrieval.py runs the full 14k query set
+    + a numpy-oracle check; this is the driver-captured subset."""
+    import numpy as np
+
+    from lako_tpu.retrieval.index import DenseIndex
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(n_corpus, dim)).astype(np.float32)
+    q = rng.normal(size=(n_queries, dim)).astype(np.float32)
+    index = DenseIndex(emb)
+    ids, _ = index.search(q[:256], k=k)          # warm/compile
+    _ = int(np.asarray(ids).sum())
+    t0 = time.perf_counter()
+    ids, _ = index.search(q, k=k, batch_size=2048)
+    _ = int(np.asarray(ids)[-1].sum())
+    return n_queries / (time.perf_counter() - t0)
+
+
 def main():
     import jax.numpy as jnp
 
@@ -137,6 +173,8 @@ def main():
     # 3) decode at the reference eval config
     dec_ans_s = _decode_throughput(model_plain, cfg, B=128, N=2, L=130,
                                    max_length=50)
+    # 4) reference-scale retrieval (300,600-fact KG)
+    ret_qps = _retrieval_qps()
 
     print(json.dumps({
         "metric": "t5_large_fid_train_examples_per_sec",
@@ -149,6 +187,7 @@ def main():
             "train_b32_l128_mfu_pct": round(100 * b32_mfu, 1),
             "decode_answers_per_sec": round(dec_ans_s, 1),
             "decode_config": "B=128 N=2 L=130 max_length=50 greedy engine",
+            "retrieval_qps_300k_top500": round(ret_qps, 1),
             "baseline_note": "vs_baseline anchor 5.3 ex/s is a documented "
                              "estimate (see bench.py docstring)",
         },
