@@ -299,6 +299,9 @@ class ReaderTrainConfig(_ConfigBase):
     # (models/t5/engine.py) whenever the model supports it, "flax" forces the
     # layer-unrolled path, "engine" requires the engine (errors if unsupported).
     decode_backend: str = "auto"
+    # Train-step backend: "flax" (unrolled) or "scan" (lax.scan over stacked
+    # layers + per-layer remat — O(1) compile scaling for t5-3b+ readers).
+    train_backend: str = "flax"
     # "native" (model dtype) or "int8" cross-KV quantization for decode.
     decode_kv_dtype: str = "native"
     # "native" or "int8" weight-only quantization for the decode engine's

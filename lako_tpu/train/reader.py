@@ -32,8 +32,33 @@ from lako_tpu.train.optim import make_optimizer
 from lako_tpu.train.state import TrainState
 
 
-def make_reader_train_step(model: FiDT5) -> Callable:
-    """Jitted (state, ids, mask, labels, rng) → (state, loss)."""
+def make_reader_train_step(model: FiDT5, backend: str = "flax") -> Callable:
+    """Jitted (state, ids, mask, labels, rng) → (state, loss).
+
+    backend: "flax" (layer-unrolled module) or "scan"
+    (models/t5/scan_model.py — lax.scan over stacked layers + per-layer
+    remat: O(1) compile scaling for deep readers, same loss).
+    """
+    if backend == "scan":
+        from lako_tpu.models.t5.scan_model import make_scan_loss_fn
+
+        scan_loss = make_scan_loss_fn(model.config, dtype=model.dtype)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_train_step(state: TrainState, ids, mask, labels, rng):
+            rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                loss, _ = scan_loss(params, ids, mask, labels,
+                                    dropout_rng=rng)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads), loss
+
+        return scan_train_step
+    if backend != "flax":
+        raise ValueError(f"unknown train backend {backend!r}")
 
     # donate the incoming state: halves train-state HBM (old+new buffers
     # never coexist) — at t5-large this is the difference between batch 32
@@ -177,7 +202,7 @@ def train_reader(
         init_params = jax.device_put(init_params, replicated(mesh))
         state = TrainState.create(init_params, tx)
 
-    train_step = make_reader_train_step(model)
+    train_step = make_reader_train_step(model, backend=cfg.train_backend)
     generate_fn = make_best_generate_fn(
         model, max_length=cfg.eval_max_length, backend=cfg.decode_backend,
         kv_dtype=cfg.decode_kv_dtype,
