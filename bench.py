@@ -25,12 +25,6 @@ BASELINE_EXAMPLES_PER_SEC = 5.3  # documented estimate, see module docstring
 V5E_PEAK_BF16_FLOPS = 197e12
 
 
-def _count_params(params):
-    import jax
-
-    return sum(x.size for x in jax.tree_util.tree_leaves(params))
-
-
 def _train_flops_per_step(params, B, N, L, T):
     """Model FLOPs of one fwd+bwd step (6 = 2 fwd + 4 bwd per param-token).
 
@@ -142,7 +136,10 @@ def _retrieval_qps(n_corpus=300_600, dim=256, n_queries=2048, k=500):
     emb = rng.normal(size=(n_corpus, dim)).astype(np.float32)
     q = rng.normal(size=(n_queries, dim)).astype(np.float32)
     index = DenseIndex(emb)
-    ids, _ = index.search(q[:256], k=k)          # warm/compile
+    # warm at the SAME query-batch shape as the timed call — the search is
+    # jit-compiled per shape, and a mismatched warmup would put compile time
+    # inside the timed region
+    ids, _ = index.search(q, k=k, batch_size=2048)
     _ = int(np.asarray(ids).sum())
     t0 = time.perf_counter()
     ids, _ = index.search(q, k=k, batch_size=2048)

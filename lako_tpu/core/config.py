@@ -80,6 +80,10 @@ class T5Config(_ConfigBase):
     # the whole feature is off by default. Measure before enabling.
     use_flash_attention: bool = False
     flash_min_length: int = 512
+    # streamed-kernel block sizes ((512,1024) = the measured-best sweep point
+    # at L=2048; see ops/flash_streamed.py's table) — tune per shape
+    flash_block_q: int = 512
+    flash_block_k: int = 1024
     # FiDO-style decoder optimizations (arXiv 2212.08153; see PAPERS.md) for
     # from-scratch training/serving — both change the architecture, so they are
     # OFF for HF-checkpoint parity:

@@ -228,6 +228,10 @@ def make_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int = 50,
     from lako_tpu.models.t5.engine import engine_supported
     from lako_tpu.signal.aggregate import aggregate_fact_scores_device
 
+    if backend == "engine" and not engine_supported(model.config):
+        raise ValueError(
+            "decode_backend='engine' but the engine does not support this "
+            "configuration (FiDO cross_attention_stride)")
     if backend != "flax" and engine_supported(model.config):
         gen = make_best_generate_fn(
             model, max_length=max_length, collect_cross_scores=True,

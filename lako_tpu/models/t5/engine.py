@@ -105,6 +105,7 @@ class StackedDecoder(NamedTuple):
     wo_mlp: Array              # (l, F, H)
     final_ln: Array            # (H,)
     embedding: Array           # (V, H)
+    lm_head: Optional[Array]   # (H, V) — None when tie_word_embeddings
     relpos: Array              # (buckets, h)
 
 
@@ -161,8 +162,14 @@ def stack_decoder_params(params, cfg: T5Config, dtype=jnp.bfloat16,
         wo_mlp=qstack(lambda b: b["mlp"]["wo"]["kernel"]),
         final_ln=jnp.asarray(dec["final_ln"]["weight"], dtype=jnp.float32),
         embedding=_quantize_rows(emb) if int8 else emb,
+        lm_head=None if cfg.tie_word_embeddings else _maybe_quantize_lm_head(
+            jnp.asarray(params["t5"]["lm_head"]["kernel"], dtype=dtype), int8),
         relpos=jnp.asarray(dec["relpos"]["rel_embedding"], dtype=jnp.float32),
     )
+
+
+def _maybe_quantize_lm_head(w, int8: bool):
+    return _quantize_weight(w) if int8 else w
 
 
 def _rms(x: Array, weight: Array, eps: float, dtype) -> Array:
@@ -191,32 +198,29 @@ class _Quantized(NamedTuple):
     scale: Array    # f32,  (..., 1) per-channel
 
 
-def _quantize_kv(x: Array) -> _Quantized:
-    """Symmetric int8 over the key axis (minor), exact per-channel scale."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+def _quantize(x: Array, axis: int) -> _Quantized:
+    """Symmetric int8 with an exact per-channel amax scale over ``axis``."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return _Quantized(q.astype(jnp.int8), scale)
 
 
+def _quantize_kv(x: Array) -> _Quantized:
+    """int8 over the key axis (minor), per-(l,b,h,d) channel scale."""
+    return _quantize(x, -1)
+
+
 def _quantize_weight(w: Array) -> _Quantized:
-    """Symmetric int8 per OUTPUT channel for (..., in, out) matmul weights:
-    x@w == (x@w_i8)*scale exactly when w_i8 were exact, so the only error is
-    the per-column int8 rounding (≤ amax/254 per element)."""
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
-    return _Quantized(q.astype(jnp.int8), scale)
+    """int8 per OUTPUT channel for (..., in, out) matmul weights:
+    x@w == (x@w_i8)*scale up to the per-column rounding (≤ amax/254)."""
+    return _quantize(w, -2)
 
 
 def _quantize_rows(e: Array) -> _Quantized:
-    """Symmetric int8 per ROW for the (V, H) embedding — serves both the
-    token lookup (dequantize the taken rows) and the logits matmul
-    x@E.T == (x@E_i8.T)*scale.T."""
-    amax = jnp.max(jnp.abs(e.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(e.astype(jnp.float32) / scale), -127, 127)
-    return _Quantized(q.astype(jnp.int8), scale)
+    """int8 per ROW for the (V, H) embedding — serves both the token lookup
+    (dequantize taken rows) and the logits matmul x@E.T == (x@E_i8.T)*scale.T."""
+    return _quantize(e, -1)
 
 
 def _take_embedding(emb, tok: Array, dtype) -> Array:
@@ -497,13 +501,16 @@ class DecodeEngine:
                 (0, 0, 0, step, 0))
 
         x = _rms(x, sd.final_ln, cfg.layer_norm_epsilon, dtype)
-        if cfg.tie_word_embeddings:
-            x = x * (cfg.d_model ** -0.5)
-        if isinstance(sd.embedding, _Quantized):
-            logits = ((x @ sd.embedding.values.T.astype(dtype))
-                      .astype(jnp.float32) * sd.embedding.scale.T)  # (B, V)
+        if sd.lm_head is not None:
+            logits = _mm(x, sd.lm_head, dtype)           # untied: (B, V)
         else:
-            logits = x @ sd.embedding.T                  # (B, V)
+            if cfg.tie_word_embeddings:
+                x = x * (cfg.d_model ** -0.5)
+            if isinstance(sd.embedding, _Quantized):
+                logits = ((x @ sd.embedding.values.T.astype(dtype))
+                          .astype(jnp.float32) * sd.embedding.scale.T)
+            else:
+                logits = x @ sd.embedding.T              # (B, V)
         xl = None
         if collect:
             # (l, B, hk?, K) → (B, l, h, K) to match the flax capture layout

@@ -190,7 +190,9 @@ class T5Attention(nn.Module):
             assert bias is None and cache is None
             rel, key_mask = stream_parts
             interp = bool(os.environ.get("LAKO_FLASH_INTERPRET"))
-            out = streamed_attention(q, k, v, rel, key_mask, 512, 1024, interp)
+            out = streamed_attention(q, k, v, rel, key_mask,
+                                     cfg.flash_block_q, cfg.flash_block_k,
+                                     interp)
             return self.o(self.merge_heads(out)), None, (k, v)
 
         if (allow_fused and cfg.use_flash_attention and cache is None

@@ -28,12 +28,18 @@ Block sweep at L=2048: (256,512) 18.0 ms, (512,512) 15.8 ms, (512,1024)
 13.7 ms (best; default), (1024,1024) exceeds the 16 MB scoped-VMEM limit.
 
 Beyond the 2048 win, the kernel's O(L) memory (vs XLA's O(L^2) logits:
-16·16·2048²·4 = 4.3 GB at L=2048) is what lets long-context batches fit at
-all. Enablement is config-gated: T5Config.use_flash_attention=True AND
-L >= T5Config.flash_min_length (default 512: parity or better everywhere at
-or above it, plus the memory win) routes encoder self-attention here;
-everything else stays on XLA. Backward is rematerialized XLA (flash-style
-recompute), exactly consistent with the fused forward.
+16·16·2048²·4 = 4.3 GB at L=2048) is what lets long-context INFERENCE
+batches fit at all. Enablement is config-gated: T5Config.use_flash_attention
+=True AND L >= T5Config.flash_min_length (default 512: parity or better
+everywhere at or above it, plus the memory win) routes encoder
+self-attention here; block sizes come from T5Config.flash_block_q/_block_k.
+Everything else stays on XLA.
+
+LIMITATION (honest): the backward is rematerialized XLA — the custom VJP
+recomputes attention via the reference einsum, which materializes the
+(B,H,L,L) f32 logits. So TRAINING at long L gets the forward's speed but
+NOT its O(L) memory; shrink the row-batch or keep XLA for training at
+L≳2048 until a streamed backward kernel (dq/dk/dv online passes) lands.
 """
 
 from __future__ import annotations

@@ -63,26 +63,32 @@ def _no_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(is_decay, params)
 
 
+def _layerwise_factor(path, decay: float,
+                      layer_key_prefix: str = "layer_") -> float:
+    """``decay ** (7 - i)`` for params whose path contains ``layer_{i}``
+    (reference indexes BERT encoder layers the same way), else 1.0."""
+    for k in path:
+        key = str(getattr(k, "key", k))
+        if key.startswith(layer_key_prefix):
+            try:
+                i = int(key[len(layer_key_prefix):])
+            except ValueError:
+                continue
+            return decay ** (7 - i)
+    return 1.0
+
+
 def _layerwise_scale(decay: float, layer_key_prefix: str = "layer_") -> optax.GradientTransformation:
-    """Scale updates per-layer by ``decay ** (7 - i)`` for params whose path
-    contains ``layer_{i}`` (reference indexes BERT encoder layers the same way)."""
+    """Scale updates per-layer by :func:`_layerwise_factor`."""
 
     def init_fn(params):
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
-        def scale(path, u):
-            for k in path:
-                key = str(getattr(k, "key", k))
-                if key.startswith(layer_key_prefix):
-                    try:
-                        i = int(key[len(layer_key_prefix):])
-                    except ValueError:
-                        continue
-                    return u * (decay ** (7 - i))
-            return u
-
-        return jax.tree_util.tree_map_with_path(scale, updates), state
+        return jax.tree_util.tree_map_with_path(
+            lambda path, u: u * _layerwise_factor(path, decay,
+                                                  layer_key_prefix),
+            updates), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -114,14 +120,19 @@ def _scale_by_adam(correct_bias: bool, b1: float, b2: float,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def _hf_decoupled_decay(weight_decay: float, lr_schedule,
-                        mask_fn) -> optax.GradientTransformation:
+def _hf_decoupled_decay(weight_decay: float, lr_schedule, mask_fn,
+                        layerwise_decay=None) -> optax.GradientTransformation:
     """HF AdamW's weight-decay order: ``p -= lr*adam_u; p -= lr*wd*p``.
 
     Applied AFTER learning-rate scaling (incoming update u = −lr·adam_u), this
     adds ``−lr·wd·(p + u)`` — decaying the post-Adam-step parameters, exactly
     as HF does, where optax's add_decayed_weights decays the pre-step ones
-    (an O(lr²·wd) divergence per step)."""
+    (an O(lr²·wd) divergence per step).
+
+    With layerwise_decay set, HF's layerwise_decay_optimizer
+    (reference src/util.py:216-229) builds per-GROUP lr = lr·decay^depth, and
+    that group lr governs the decay term too — so the decay here is scaled by
+    the same :func:`_layerwise_factor` as the update."""
 
     def init_fn(params):
         return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
@@ -131,10 +142,16 @@ def _hf_decoupled_decay(weight_decay: float, lr_schedule,
             raise ValueError("params required for decoupled weight decay")
         lr = lr_schedule(state.count) if callable(lr_schedule) else lr_schedule
         mask = mask_fn(params)
-        new_updates = jax.tree_util.tree_map(
-            lambda u, p, m: u - lr * weight_decay * (p + u) if m else u,
-            updates, params, mask,
-        )
+
+        def apply(path, u, p, m):
+            if not m:
+                return u
+            f = (1.0 if layerwise_decay is None
+                 else _layerwise_factor(path, layerwise_decay))
+            return u - (lr * f) * weight_decay * (p + u)
+
+        new_updates = jax.tree_util.tree_map_with_path(
+            apply, updates, params, mask)
         return new_updates, optax.ScaleByScheduleState(count=state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -163,7 +180,8 @@ def make_optimizer(cfg: OptimConfig, params_example: Optional[Any] = None) -> op
         chain.append(_layerwise_scale(cfg.layerwise_decay))
     chain.append(optax.scale_by_learning_rate(lr))
     if cfg.optim == "adamw" and cfg.weight_decay > 0:
-        chain.append(_hf_decoupled_decay(cfg.weight_decay, lr, _no_decay_mask))
+        chain.append(_hf_decoupled_decay(cfg.weight_decay, lr, _no_decay_mask,
+                                         layerwise_decay=cfg.layerwise_decay))
     tx = optax.chain(*chain)
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)

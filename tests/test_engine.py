@@ -132,6 +132,21 @@ def test_engine_int8_weights_gated_runs():
     assert tokens.shape == (3, 5)
 
 
+def test_engine_untied_lm_head():
+    """tie_word_embeddings=False (T5 v1.1 style): the engine must use the
+    lm_head kernel, not the shared embedding (regression: it silently
+    produced garbage tokens on untied checkpoints)."""
+    model, params, ids, mask = _make({"tie_word_embeddings": False}, seed=11)
+    ref_tokens, _ = greedy_generate(model, params, ids, mask, max_length=8)
+    eng = DecodeEngine(model, max_length=8)
+    tokens, _ = eng.generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+    # int8 weights quantize the lm_head too — must still run and agree mostly
+    q8 = DecodeEngine(model, max_length=8, weights_dtype="int8")
+    qtokens, _ = q8.generate(params, ids, mask)
+    assert (np.asarray(qtokens) == np.asarray(ref_tokens)).mean() >= 0.85
+
+
 def test_engine_rejects_fido_stride():
     cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
                    num_layers=1, num_decoder_layers=4, num_heads=4,

@@ -96,3 +96,29 @@ def test_adamw_matches_hf_no_bias_correction():
 
     np.testing.assert_allclose(np.asarray(params["w"]), wt.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_layerwise_decay_scales_weight_decay_like_hf():
+    """HF's layerwise_decay_optimizer sets group lr = lr*decay^depth and that
+    group lr drives BOTH the Adam step and the decoupled weight decay
+    (reference src/util.py:216-229). One optimizer step must therefore decay
+    layer_{i} params by lr*decay^(7-i)*wd, not the global lr*wd."""
+    import jax
+    import jax.numpy as jnp
+
+    from lako_tpu.core.config import OptimConfig
+
+    lr, wd, decay = 0.01, 0.5, 0.5
+    params = {"layer_0": {"w": {"kernel": jnp.ones((3, 3))}},
+              "layer_7": {"w": {"kernel": jnp.ones((3, 3))}}}
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)  # isolate decay
+    tx = make_optimizer(OptimConfig(optim="adamw", lr=lr, weight_decay=wd,
+                                    scheduler="fixed", layerwise_decay=decay,
+                                    total_steps=10))
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    # zero grads → update is purely the decay term −lr_group·wd·p
+    got0 = float(updates["layer_0"]["w"]["kernel"][0, 0])
+    got7 = float(updates["layer_7"]["w"]["kernel"][0, 0])
+    np.testing.assert_allclose(got0, -lr * (decay ** 7) * wd, rtol=1e-6)
+    np.testing.assert_allclose(got7, -lr * (decay ** 0) * wd, rtol=1e-6)
