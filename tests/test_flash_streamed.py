@@ -92,3 +92,22 @@ def test_encoder_integration_streamed_matches_standard(monkeypatch):
     out_s = enc_on.apply({"params": params}, *short)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_streamed_gradients_unaligned_multiblock():
+    """Streamed backward (3-pass, no O(L²) materialization): padding rows,
+    multi q/k blocks, and the batch-reduced drel must all match XLA."""
+    q, k, v, rel, mask = _inputs(L=300, Lk=330, B=3, H=2, D=16)
+
+    def loss_stream(q, k, v, rel):
+        return jnp.sum(streamed_attention(q, k, v, rel, mask, 128, 128, True)
+                       ** 2)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(_xla_reference(q, k, v, rel, mask) ** 2)
+
+    gs = jax.grad(loss_stream, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, a, b in zip("qkv rel".split() + ["rel"], gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

@@ -58,6 +58,32 @@ assert err_stream.max() <= 2 * err_xla.max() + 1e-3, \
     (err_stream.max(), err_xla.max())
 print("FLASH_OK", flush=True)
 
+# 1b) streamed BACKWARD lowers on hardware; both bf16 paths are compared
+# against the f32 ground-truth grads (bf16-vs-bf16 accumulation order alone
+# differs by several percent on single elements, so a hard constant between
+# the two bf16 paths would be meaningless)
+def loss_s(q, k, v, rel):
+    return jnp.sum(streamed_attention(q, k, v, rel, mask, 128, 128,
+                                      False).astype(jnp.float32) ** 2)
+def loss_r(q, k, v, rel):
+    return jnp.sum(_xla_reference(q, k, v, rel, mask).astype(jnp.float32) ** 2)
+def loss_t(q, k, v, rel):   # f32 ground truth
+    return jnp.sum(_xla_reference(q.astype(jnp.float32),
+                                  k.astype(jnp.float32),
+                                  v.astype(jnp.float32), rel, mask) ** 2)
+gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(q, k, v, rel)
+gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, rel)
+gt = jax.grad(loss_t, argnums=(0, 1, 2, 3))(
+    q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), rel)
+for name, a, b, t in zip("q k v rel".split(), gs, gr, gt):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    t = np.asarray(t, np.float32)
+    err_s = np.abs(a - t).mean()
+    err_x = np.abs(b - t).mean()
+    assert err_s <= 2 * err_x + 1e-5, (name, err_s, err_x)
+print("FLASH_BWD_OK", flush=True)
+
 # 2) decode engine runs on hardware and matches the flax path
 from lako_tpu.core.config import T5Config
 from lako_tpu.models.t5.model import FiDT5
@@ -103,4 +129,5 @@ def test_pallas_and_engine_on_tpu():
         env=_clean_env(), capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stderr[-4000:]
-    assert "FLASH_OK" in r.stdout and "ENGINE_OK" in r.stdout, r.stdout
+    assert ("FLASH_OK" in r.stdout and "FLASH_BWD_OK" in r.stdout
+            and "ENGINE_OK" in r.stdout), r.stdout
