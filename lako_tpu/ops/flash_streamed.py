@@ -45,6 +45,12 @@ sum-of-squares loss, grads of q/k/v/rel):
     L       XLA fwd+bwd    streamed fwd+bwd    speedup
     1024      23.31 ms         17.75 ms          1.31x
     2048      71.17 ms         42.50 ms          1.67x
+
+End-to-end t5-large FiD TRAIN STEP (fwd+bwd+AdamW, remat, donated state,
+N=1) with use_flash_attention on vs off: 92.4 vs 102.2 ms at L=1024/B=2
+(+11%) and 172.3 vs 199.0 ms at L=2048/B=1 (+15%) — attention is a
+fraction of a full step, so the whole-step win is smaller than the
+kernel-level one.
 """
 
 from __future__ import annotations
