@@ -30,10 +30,30 @@ from lako_tpu.models.t5.layers import (
 Array = jax.Array
 
 
+def resolve_remat_policy(name):
+    """Remat policy knob: None/'full' = recompute everything in the backward
+    (min memory, ~8PT FLOPs/step); 'dots' = save matmul outputs and recompute
+    only the cheap elementwise ops (jax.checkpoint_policies
+    .dots_with_no_batch_dims_saveable — closer to 6PT at higher activation
+    memory).
+
+    MEASURED (v5e-1, t5-large FiD train step, B=32 N=2 L=128, donated
+    state): full remat 151.5 ms/step, 'dots' 161.9 ms (the saved-activation
+    HBM writes cost more than the recompute they avoid), NO remat also
+    151.5 ms — the step is not remat-bound at this shape, so 'full' stays
+    the default and the knob matters only for bigger models/longer L."""
+    if name in (None, "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
 class T5Encoder(nn.Module):
     config: T5Config
     dtype: Any = jnp.float32
     use_remat: bool = False
+    remat_policy: Any = None    # None/'full' | 'dots'
 
     def setup(self):
         cfg = self.config
@@ -42,7 +62,9 @@ class T5Encoder(nn.Module):
         block_cls = T5EncoderBlock
         if self.use_remat:
             # static_argnums counts self as 0: (x=1, bias=2, deterministic=3)
-            block_cls = nn.remat(T5EncoderBlock, static_argnums=(3,), prevent_cse=False)
+            block_cls = nn.remat(T5EncoderBlock, static_argnums=(3,),
+                                 prevent_cse=False,
+                                 policy=resolve_remat_policy(self.remat_policy))
         self.blocks = [
             block_cls(cfg, self.dtype, name=f"block_{i}") for i in range(cfg.num_layers)
         ]
@@ -207,13 +229,15 @@ class T5(nn.Module):
     config: T5Config
     dtype: Any = jnp.float32
     use_remat: bool = False
+    remat_policy: Any = None
 
     def setup(self):
         cfg = self.config
         self.shared = nn.Embed(cfg.vocab_size, cfg.d_model,
                                embedding_init=nn.initializers.normal(stddev=1.0),
                                dtype=self.dtype, name="shared")
-        self.encoder = T5Encoder(cfg, self.dtype, self.use_remat, name="encoder")
+        self.encoder = T5Encoder(cfg, self.dtype, self.use_remat,
+                                 self.remat_policy, name="encoder")
         self.decoder = T5Decoder(cfg, self.dtype, self.use_remat, name="decoder")
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
@@ -262,9 +286,11 @@ class FiDT5(nn.Module):
     config: T5Config
     dtype: Any = jnp.float32
     use_remat: bool = False
+    remat_policy: Any = None    # None/'full' | 'dots' (resolve_remat_policy)
 
     def setup(self):
-        self.t5 = T5(self.config, self.dtype, self.use_remat, name="t5")
+        self.t5 = T5(self.config, self.dtype, self.use_remat,
+                     self.remat_policy, name="t5")
 
     def encode_passages(self, input_ids: Array, mask: Array,
                         *, deterministic: bool = True) -> Tuple[Array, Array]:
