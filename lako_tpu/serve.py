@@ -43,6 +43,12 @@ class ServiceConfig:
     decode_kv_dtype: str = "native"  # "native" | "int8"
     decode_weights_dtype: str = "native"  # "native" | "int8" (weight-only)
     decode_chunk_size: Optional[int] = None
+    # Dynamic micro-batching for the HTTP server: concurrent requests that
+    # arrive within batch_window_ms of each other are merged into ONE device
+    # batch (up to batch_size). Amortizes the per-device-call dispatch cost
+    # across independent clients; single-request latency gains at most the
+    # window. 0 disables (each request is its own batch).
+    batch_window_ms: float = 0.0
 
 
 class LakoService:
@@ -161,10 +167,93 @@ class LakoService:
         return self.answer_batch([req])[0]
 
 
+class MicroBatcher:
+    """Dynamic micro-batching: merge concurrent requests into one device
+    batch.
+
+    A single worker thread drains a queue; after the first request of a
+    batch arrives it keeps collecting until ``max_batch`` requests are in
+    hand or ``window_s`` has elapsed, then runs ONE ``answer_batch`` for all
+    of them. Clients block on a per-request event. Per-request failures are
+    isolated: a bad request poisons only its own slot (the batch is retried
+    per-request on error)."""
+
+    def __init__(self, service: LakoService, max_batch: int,
+                 window_s: float):
+        import queue
+        import threading
+
+        self._service = service
+        self._max_batch = max_batch
+        self._window = window_s
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: dict, timeout: float = 120.0) -> dict:
+        return self.submit_many([request], timeout=timeout)[0]
+
+    def submit_many(self, requests: Sequence[dict],
+                    timeout: float = 120.0) -> List[dict]:
+        """Enqueue all requests at once (so a multi-item payload shares one
+        batch instead of paying one window per item), then wait for all."""
+        import threading
+
+        slots = [{"req": r, "ev": threading.Event()} for r in requests]
+        for slot in slots:
+            self._q.put(slot)
+        results = []
+        for slot in slots:
+            if not slot["ev"].wait(timeout=timeout):
+                raise TimeoutError("micro-batch worker did not respond")
+            if "error" in slot:
+                raise ValueError(slot["error"])
+            results.append(slot["result"])
+        return results
+
+    def _loop(self):
+        import queue
+        import time
+
+        while True:
+            slots = [self._q.get()]
+            deadline = time.monotonic() + self._window
+            while len(slots) < self._max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    slots.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self._service.answer_batch(
+                    [s["req"] for s in slots])
+                for s, r in zip(slots, results):
+                    s["result"] = r
+            except Exception:  # noqa: BLE001 — isolate the bad request(s)
+                for s in slots:
+                    try:
+                        s["result"] = self._service.answer_batch(
+                            [s["req"]])[0]
+                    except Exception as e:  # noqa: BLE001
+                        s["error"] = str(e)
+            for s in slots:
+                s["ev"].set()
+
+
 def run_http_server(service: LakoService, host: str = "127.0.0.1",
                     port: int = 8080) -> None:
-    """Minimal stdlib HTTP endpoint: POST /answer {question, caption, fact?}."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    """Stdlib HTTP endpoint: POST /answer {question, caption, fact?}.
+
+    With cfg.batch_window_ms > 0 the server is threaded and concurrent
+    requests are merged into shared device batches via MicroBatcher."""
+    from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                             ThreadingHTTPServer)
+
+    window = service.cfg.batch_window_ms / 1e3
+    batcher = (MicroBatcher(service, service.cfg.batch_size, window)
+               if window > 0 else None)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -176,7 +265,10 @@ def run_http_server(service: LakoService, host: str = "127.0.0.1",
                 payload = json.loads(self.rfile.read(length))
                 if isinstance(payload, dict):
                     payload = [payload]
-                out = service.answer_batch(payload)
+                if batcher is not None:
+                    out = batcher.submit_many(payload)
+                else:
+                    out = service.answer_batch(payload)
             except Exception as e:  # noqa: BLE001 — report to client
                 self.send_response(400)
                 self.send_header("Content-Type", "application/json")
@@ -193,4 +285,5 @@ def run_http_server(service: LakoService, host: str = "127.0.0.1",
         def log_message(self, *a):
             pass
 
-    HTTPServer((host, port), Handler).serve_forever()
+    server_cls = ThreadingHTTPServer if batcher is not None else HTTPServer
+    server_cls((host, port), Handler).serve_forever()

@@ -118,3 +118,101 @@ def test_http_endpoint(service):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_microbatcher_coalesces_concurrent_requests(service):
+    """N concurrent submits within the window must share answer_batch calls
+    (fewer calls than requests) and each client gets its own result."""
+    from lako_tpu.serve import MicroBatcher
+
+    calls = []
+    orig = service.answer_batch
+
+    class Counting:
+        cfg = service.cfg
+
+        def answer_batch(self, reqs):
+            calls.append(len(reqs))
+            return orig(reqs)
+
+    mb = MicroBatcher(Counting(), max_batch=4, window_s=0.25)
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = mb.submit({"question": f"q{i}?", "caption": "a cat.",
+                                "fact": [{"sentence": "cat says meow.",
+                                          "id": 0}]})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None and "answer" in r for r in results)
+    assert sum(calls) == 6
+    assert len(calls) < 6, calls          # coalesced into shared batches
+    assert max(calls) > 1, calls
+
+
+def test_microbatcher_isolates_bad_request(service):
+    from lako_tpu.serve import MicroBatcher
+
+    mb = MicroBatcher(service, max_batch=4, window_s=0.2)
+    results = {}
+
+    def good():
+        results["good"] = mb.submit(
+            {"question": "q?", "caption": "c.",
+             "fact": [{"sentence": "cat says meow.", "id": 0}]})
+
+    def bad():
+        try:
+            mb.submit({"no_question_key": True})
+            results["bad"] = "no error"
+        except (ValueError, KeyError) as e:
+            results["bad"] = f"error: {e}"
+
+    tg, tb = threading.Thread(target=good), threading.Thread(target=bad)
+    tg.start(); tb.start(); tg.join(timeout=120); tb.join(timeout=120)
+    assert "answer" in results["good"]
+    assert str(results["bad"]).startswith("error")
+
+
+def test_http_endpoint_with_batching(service):
+    import socket
+    import time
+    import copy
+
+    svc = copy.copy(service)
+    svc.cfg = dataclasses_replace_window(service.cfg, 50.0)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    t = threading.Thread(target=run_http_server,
+                         args=(svc, "127.0.0.1", port), daemon=True)
+    t.start()
+    payload = json.dumps([
+        {"question": "what sound does the cat make?", "caption": "a cat.",
+         "fact": [{"sentence": "cat says meow.", "id": 0}]},
+        {"question": "what sound does the dog make?", "caption": "a dog.",
+         "fact": [{"sentence": "dog says woof.", "id": 1}]},
+    ]).encode()
+    out = None
+    for _ in range(80):
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/answer", data=payload,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                out = json.loads(resp.read())
+            break
+        except (ConnectionError, urllib.error.URLError):
+            time.sleep(0.1)
+    assert isinstance(out, list) and len(out) == 2
+    assert all("answer" in o for o in out)
+
+
+def dataclasses_replace_window(cfg, window_ms):
+    import dataclasses
+
+    return dataclasses.replace(cfg, batch_window_ms=window_ms)
