@@ -240,7 +240,12 @@ def cmd_serve(args):
     service = LakoService(
         ServiceConfig(batch_size=args.batch_size, max_length=cfg.eval_max_length,
                       n_context=cfg.data.n_context, data=cfg.data,
-                      dtype=cfg.dtype, num_beams=args.num_beams),
+                      dtype=cfg.dtype, num_beams=args.num_beams,
+                      decode_backend=cfg.decode_backend,
+                      decode_kv_dtype=cfg.decode_kv_dtype,
+                      decode_weights_dtype=cfg.decode_weights_dtype,
+                      decode_chunk_size=cfg.decode_chunk_size,
+                      batch_window_ms=args.batch_window_ms),
         t5_cfg, params, tok,
         retriever=retriever, retriever_params=retriever_params,
         bert_tokenizer=btok, index=index, id_to_sentence=id_to_sentence,
@@ -404,6 +409,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--port", type=int, default=8080)
     t.add_argument("--batch-size", type=int, default=8)
     t.add_argument("--num-beams", type=int, default=1)
+    t.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="dynamic micro-batching window (0 = off): concurrent "
+                        "requests within the window share one device batch")
     t.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("truncate-data", help="keep the first K examples of a JSON dataset")
