@@ -113,6 +113,7 @@ _T5_SIZES = {
     "base": (768, 64, 3072, 12, 12),
     "large": (1024, 64, 4096, 24, 16),
     "3b": (1024, 128, 16384, 24, 32),
+    "11b": (1024, 128, 65536, 24, 128),
 }
 
 
