@@ -299,6 +299,11 @@ class ReaderTrainConfig(_ConfigBase):
     eval_max_length: int = 50
     warmup_fraction: float = 0.06  # reference train_reader.py:261
     use_remat: bool = True  # = --use_checkpoint activation checkpointing
+    # Remat policy for the ENCODER blocks (the decoder is never remat'd —
+    # its teacher-forced pass is short): None/'full' | 'dots'. Measured
+    # equal-or-worse than 'full' at t5-large (models/t5/model.py docstring);
+    # the knob exists for deeper models / longer sequences.
+    remat_policy: Optional[str] = None
     dtype: str = "bfloat16"
     # Decode backend for eval: "auto" uses the stacked scan-over-layers engine
     # (models/t5/engine.py) whenever the model supports it, "flax" forces the

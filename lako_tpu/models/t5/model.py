@@ -41,7 +41,11 @@ def resolve_remat_policy(name):
     state): full remat 151.5 ms/step, 'dots' 161.9 ms (the saved-activation
     HBM writes cost more than the recompute they avoid), NO remat also
     151.5 ms — the step is not remat-bound at this shape, so 'full' stays
-    the default and the knob matters only for bigger models/longer L."""
+    the default and the knob matters only for bigger models/longer L.
+
+    Applies to the ENCODER blocks only (FiD's decoder pass is the short
+    teacher-forced answer sequence and is never remat'd). Reachable via
+    ReaderTrainConfig.remat_policy."""
     if name in (None, "full"):
         return None
     if name == "dots":

@@ -76,64 +76,96 @@ def _pad_axis(x, axis, size):
     return jnp.pad(x, widths)
 
 
-def _streamed_kernel(q_ref, k_ref, v_ref, rel_ref, kmask_ref, out_ref,
-                     lse_ref, acc_ref, m_ref, l_ref):
+def _pad_inputs(q, k, v, rel_bias, key_mask, block_q, block_k):
+    """Shared forward/backward tiling + padding (they MUST agree: the saved
+    lse is padded with the forward's Lp and the backward re-derives it).
+    Returns (qp, kp, vp, relp, km, dims) with km (B, 1, Lkp) additive and
+    dims = (TQ, TK, Lp, Lkp, Dp)."""
+    B, H, L, D = q.shape
+    Lk = k.shape[2]
+    TQ = min(block_q, _round_up(L, 128))
+    TK = min(block_k, _round_up(Lk, 128))
+    Lp, Lkp, Dp = _round_up(L, TQ), _round_up(Lk, TK), _round_up(D, 128)
+
+    qp = _pad_axis(_pad_axis(q, 2, Lp), 3, Dp)
+    kp = _pad_axis(_pad_axis(k, 2, Lkp), 3, Dp)
+    vp = _pad_axis(_pad_axis(v, 2, Lkp), 3, Dp)
+    relp = _pad_axis(_pad_axis(rel_bias.astype(jnp.float32), 1, Lp), 2, Lkp)
+    # additive key-mask row; padded keys always masked
+    km = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+    km = jnp.pad(km, ((0, 0), (0, Lkp - Lk)), constant_values=NEG_INF)
+    km = km[:, None, :]                                  # (B, 1, Lkp)
+    return qp, kp, vp, relp, km, (TQ, TK, Lp, Lkp, Dp)
+
+
+def _make_streamed_kernel(with_stats: bool):
     """Grid (B, H, nQ, nK), k innermost. One (batch, head, q-block) per
     program streaming over k-blocks — keeping the head axis in the grid (not
     the block) bounds VMEM at ~1 MB/program (the all-heads variant OOMed
     scoped vmem at L=512: its f32 rel block alone was H·TQ·TK·4 = 8 MB).
     Blocks: q (1, 1, TQ, D); k/v (1, 1, TK, D); rel (1, TQ, TK);
     kmask (1, 1, TK); out (1, 1, TQ, D). Scratch: acc (TQ, D) f32,
-    m/l (TQ, 128) f32.
+    m/l (TQ, 128) f32. with_stats additionally emits per-row logsumexp for
+    the streamed backward — the primal (inference) path skips that HBM
+    write entirely.
     """
-    import jax.lax as lax
-    from jax.experimental import pallas as pl
 
-    k_idx = pl.program_id(3)
-    n_k = pl.num_programs(3)
+    def kernel(q_ref, k_ref, v_ref, rel_ref, kmask_ref, out_ref, *rest):
+        import jax.lax as lax
+        from jax.experimental import pallas as pl
 
-    @pl.when(k_idx == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
+        if with_stats:
+            lse_ref, acc_ref, m_ref, l_ref = rest
+        else:
+            acc_ref, m_ref, l_ref = rest
 
-    q = q_ref[0, 0]                   # (TQ, D)
-    k = k_ref[0, 0]                   # (TK, D)
-    v = v_ref[0, 0]                   # (TK, D)
-    rel = rel_ref[0]                  # (TQ, TK) f32
-    kmask = kmask_ref[0]              # (1, TK) f32 additive (0 | NEG_INF)
+        k_idx = pl.program_id(3)
+        n_k = pl.num_programs(3)
 
-    logits = lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                 # (TQ, TK)
-    logits = logits + rel.astype(jnp.float32) + kmask
+        @pl.when(k_idx == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
 
-    m_prev = m_ref[:, 0:1]            # (TQ, 1)
-    l_prev = l_ref[:, 0:1]
-    m_blk = jnp.max(logits, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_blk)
-    alpha = jnp.exp(m_prev - m_new)   # rescale factor for old accumulator
-    p = jnp.exp(logits - m_new)       # (TQ, TK)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        q = q_ref[0, 0]                   # (TQ, D)
+        k = k_ref[0, 0]                   # (TK, D)
+        v = v_ref[0, 0]                   # (TK, D)
+        rel = rel_ref[0]                  # (TQ, TK) f32
+        kmask = kmask_ref[0]              # (1, TK) f32 additive (0 | NEG_INF)
 
-    pv = lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                 # (TQ, D)
-    acc_ref[...] = acc_ref[...] * alpha + pv
-    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+        logits = lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                 # (TQ, TK)
+        logits = logits + rel.astype(jnp.float32) + kmask
 
-    @pl.when(k_idx == n_k - 1)
-    def _finalize():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        out_ref[0, 0] = (acc_ref[...] / denom).astype(out_ref.dtype)
-        # per-row logsumexp (softmax stats) for the streamed backward,
-        # broadcast over the 128-lane minor axis
-        lse_ref[0, 0] = m_ref[...] + jnp.log(jnp.maximum(l_ref[...], 1e-30))
+        m_prev = m_ref[:, 0:1]            # (TQ, 1)
+        l_prev = l_ref[:, 0:1]
+        m_blk = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        alpha = jnp.exp(m_prev - m_new)   # rescale factor for old accumulator
+        p = jnp.exp(logits - m_new)       # (TQ, TK)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        pv = lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                 # (TQ, D)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        @pl.when(k_idx == n_k - 1)
+        def _finalize():
+            denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+            out_ref[0, 0] = (acc_ref[...] / denom).astype(out_ref.dtype)
+            if with_stats:
+                lse_ref[0, 0] = m_ref[...] + jnp.log(
+                    jnp.maximum(l_ref[...], 1e-30))
+
+    return kernel
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -152,28 +184,31 @@ def streamed_attention(q, k, v, rel_bias, key_mask,
 
 
 def _streamed_fwd_impl(q, k, v, rel_bias, key_mask, block_q, block_k,
-                       interpret):
+                       interpret, with_stats: bool = False):
+    """Forward pallas call. with_stats=True additionally returns the padded
+    (B, H, Lp, 128) per-row logsumexp (training residual); the primal path
+    skips that output entirely so inference pays no extra HBM write."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, L, D = q.shape
     Lk = k.shape[2]
-    TQ = min(block_q, _round_up(L, 128))
-    TK = min(block_k, _round_up(Lk, 128))
-    Lp, Lkp, Dp = _round_up(L, TQ), _round_up(Lk, TK), _round_up(D, 128)
+    qp, kp, vp, relp, km, (TQ, TK, Lp, Lkp, Dp) = _pad_inputs(
+        q, k, v, rel_bias, key_mask, block_q, block_k)
 
-    qp = _pad_axis(_pad_axis(q, 2, Lp), 3, Dp)
-    kp = _pad_axis(_pad_axis(k, 2, Lkp), 3, Dp)
-    vp = _pad_axis(_pad_axis(v, 2, Lkp), 3, Dp)
-    relp = _pad_axis(_pad_axis(rel_bias.astype(jnp.float32), 1, Lp), 2, Lkp)
-    # additive key-mask row; padded keys always masked
-    km = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
-    km = jnp.pad(km, ((0, 0), (0, Lkp - Lk)), constant_values=NEG_INF)
-    km = km[:, None, :]                                  # (B, 1, Lkp)
+    out_specs = [pl.BlockSpec((1, 1, TQ, Dp),
+                              lambda b, h, qi, ki: (b, h, qi, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, H, Lp, Dp), q.dtype)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 1, TQ, 128),
+                                      lambda b, h, qi, ki: (b, h, qi, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, H, Lp, 128), jnp.float32))
 
     grid = (B, H, Lp // TQ, Lkp // TK)
-    out, lse = pl.pallas_call(
-        _streamed_kernel,
+    result = pl.pallas_call(
+        _make_streamed_kernel(with_stats),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0),
@@ -187,16 +222,8 @@ def _streamed_fwd_impl(q, k, v, rel_bias, key_mask, block_q, block_k,
             pl.BlockSpec((1, 1, TK), lambda b, h, qi, ki: (b, 0, ki),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TQ, 128), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Lp, Dp), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Lp, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((TQ, Dp), jnp.float32),
             pltpu.VMEM((TQ, 128), jnp.float32),
@@ -210,7 +237,10 @@ def _streamed_fwd_impl(q, k, v, rel_bias, key_mask, block_q, block_k,
             transcendentals=B * H * L * Lk,
         ),
     )(qp, kp, vp, relp, km)
-    return out[:, :, :L, :D], lse
+    if with_stats:
+        out, lse = result
+        return out[:, :, :L, :D], lse
+    return result[0][:, :, :L, :D], None
 
 
 def _xla_reference(q, k, v, rel_bias, key_mask):
@@ -223,8 +253,10 @@ def _xla_reference(q, k, v, rel_bias, key_mask):
 
 def _fwd(q, k, v, rel_bias, key_mask, block_q, block_k, interpret):
     out, lse = _streamed_fwd_impl(q, k, v, rel_bias, key_mask, block_q,
-                                  block_k, interpret)
-    return out, (q, k, v, rel_bias, key_mask, out, lse)
+                                  block_k, interpret, with_stats=True)
+    # keep ONE lane of the 128-lane-broadcast stats as the residual (the
+    # backward rebroadcasts); storing all 128 would cost 128x the memory
+    return out, (q, k, v, rel_bias, key_mask, out, lse[..., :1])
 
 
 # ---- streamed backward ------------------------------------------------------
@@ -337,18 +369,11 @@ def _streamed_bwd_impl(q, k, v, rel_bias, key_mask, out, lse, g,
 
     B, H, L, D = q.shape
     Lk = k.shape[2]
-    TQ = min(block_q, _round_up(L, 128))
-    TK = min(block_k, _round_up(Lk, 128))
-    Lp, Lkp, Dp = _round_up(L, TQ), _round_up(Lk, TK), _round_up(D, 128)
-
-    qp = _pad_axis(_pad_axis(q, 2, Lp), 3, Dp)
-    kp = _pad_axis(_pad_axis(k, 2, Lkp), 3, Dp)
-    vp = _pad_axis(_pad_axis(v, 2, Lkp), 3, Dp)
+    qp, kp, vp, relp, km, (TQ, TK, Lp, Lkp, Dp) = _pad_inputs(
+        q, k, v, rel_bias, key_mask, block_q, block_k)
     gp = _pad_axis(_pad_axis(g.astype(q.dtype), 2, Lp), 3, Dp)
-    relp = _pad_axis(_pad_axis(rel_bias.astype(jnp.float32), 1, Lp), 2, Lkp)
-    km = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
-    km = jnp.pad(km, ((0, 0), (0, Lkp - Lk)), constant_values=NEG_INF)
-    km = km[:, None, :]
+    # residual lse is (B, H, Lp, 1); rebroadcast to the 128-lane block shape
+    lse = jnp.broadcast_to(lse, (B, H, Lp, 128))
     # D[q] = rowsum(dO·O); padded rows are zero, so they contribute nothing
     dvec = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     dvec = jnp.broadcast_to(_pad_axis(dvec, 2, Lp)[..., None],

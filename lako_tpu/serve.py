@@ -196,20 +196,27 @@ class MicroBatcher:
     def submit_many(self, requests: Sequence[dict],
                     timeout: float = 120.0) -> List[dict]:
         """Enqueue all requests at once (so a multi-item payload shares one
-        batch instead of paying one window per item), then wait for all."""
+        batch instead of paying one window per item), then wait for all.
+        All slots are drained before reporting, so a timeout on one slot
+        does not discard results already computed for the others."""
         import threading
+        import time
 
         slots = [{"req": r, "ev": threading.Event()} for r in requests]
         for slot in slots:
             self._q.put(slot)
-        results = []
+        deadline = time.monotonic() + timeout
+        timed_out = False
         for slot in slots:
-            if not slot["ev"].wait(timeout=timeout):
-                raise TimeoutError("micro-batch worker did not respond")
-            if "error" in slot:
-                raise ValueError(slot["error"])
-            results.append(slot["result"])
-        return results
+            if not slot["ev"].wait(timeout=max(0.0, deadline
+                                               - time.monotonic())):
+                timed_out = True
+        if timed_out:
+            raise TimeoutError("micro-batch worker did not respond in time")
+        bad = next((s for s in slots if "error" in s), None)
+        if bad is not None:
+            raise ValueError(bad["error"])
+        return [s["result"] for s in slots]
 
     def _loop(self):
         import queue
@@ -269,6 +276,12 @@ def run_http_server(service: LakoService, host: str = "127.0.0.1",
                     out = batcher.submit_many(payload)
                 else:
                     out = service.answer_batch(payload)
+            except TimeoutError as e:   # server-side stall, not client error
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"error": str(e)}).encode())
+                return
             except Exception as e:  # noqa: BLE001 — report to client
                 self.send_response(400)
                 self.send_header("Content-Type", "application/json")

@@ -159,7 +159,8 @@ def train_reader(
     mesh = mesh or make_mesh(cfg.mesh)
     t5_cfg = t5_config or t5_config_for_size(cfg.model_size, vocab_size=tokenizer.vocab_size)
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = FiDT5(t5_cfg, dtype=dtype, use_remat=cfg.use_remat)
+    model = FiDT5(t5_cfg, dtype=dtype, use_remat=cfg.use_remat,
+                  remat_policy=cfg.remat_policy)
 
     train_ds = ReaderDataset(train_examples, cfg.data, seed=cfg.seed)
     eval_ds = ReaderDataset(eval_examples, cfg.data, seed=cfg.seed)

@@ -108,6 +108,15 @@ def test_streamed_gradients_unaligned_multiblock():
 
     gs = jax.grad(loss_stream, argnums=(0, 1, 2, 3))(q, k, v, rel)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
-    for name, a, b in zip("qkv rel".split() + ["rel"], gs, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    assert len(gs) == len(gr) == 4
+    for name, a, b in zip(["q", "k", "v", "rel"], gs, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "rel":
+            # drel sums exp/log-recomputed dS over the batch; its per-element
+            # noise floor (identical between this kernel and a float64 oracle
+            # for the XLA path) makes a hard elementwise rtol meaningless for
+            # near-zero entries — bound by the gradient's own scale instead
+            assert np.abs(a - b).max() <= 3e-3 * np.abs(b).max(), name
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4,
+                                       err_msg=name)

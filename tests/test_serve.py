@@ -183,8 +183,10 @@ def test_http_endpoint_with_batching(service):
     import time
     import copy
 
+    import dataclasses
+
     svc = copy.copy(service)
-    svc.cfg = dataclasses_replace_window(service.cfg, 50.0)
+    svc.cfg = dataclasses.replace(service.cfg, batch_window_ms=50.0)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -211,8 +213,3 @@ def test_http_endpoint_with_batching(service):
     assert isinstance(out, list) and len(out) == 2
     assert all("answer" in o for o in out)
 
-
-def dataclasses_replace_window(cfg, window_ms):
-    import dataclasses
-
-    return dataclasses.replace(cfg, batch_window_ms=window_ms)
