@@ -18,10 +18,11 @@ scalar-reduction fence, 8 chained calls per timing, best of 5;
 scripts/bench_flash.py + block sweep, r2):
 
     L      XLA fused    streamed (TQ=512,TK=1024)    speedup
-    130      4.51 ms        4.06 ms                    1.11x
-    512      4.66 ms        4.67 ms                    1.00x
-    1024     7.67 ms        6.09 ms                    1.26x
-    2048    37.99 ms       13.74 ms                    2.77x  (XLA's
+    130      3.99 ms        4.19 ms                    0.95x  (below the
+                                                      crossover; not used)
+    512      5.09 ms        4.53 ms                    1.12x
+    1024     7.77 ms        6.55 ms                    1.19x
+    2048    37.84 ms       13.67 ms                    2.77x  (XLA's
                                           (B,H,L,L) f32 logits spill HBM)
 
 Block sweep at L=2048: (256,512) 18.0 ms, (512,512) 15.8 ms, (512,1024)
