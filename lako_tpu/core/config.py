@@ -254,7 +254,8 @@ class ReaderDataConfig(_ConfigBase):
 class OptimConfig(_ConfigBase):
     """Optimizer + schedule (reference: src/util.py:149-245, src/options.py:20-48)."""
 
-    optim: str = "adamw"  # "adam" | "adamw"
+    optim: str = "adamw"  # "adam" | "adamw" | "adafactor" (O(rows+cols)
+    # second-moment state for t5-3b+ on 16 GB chips; train/optim.py)
     lr: float = 1e-4
     weight_decay: float = 0.1
     clip: float = 1.0

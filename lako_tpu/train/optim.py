@@ -165,6 +165,23 @@ def make_optimizer(cfg: OptimConfig, params_example: Optional[Any] = None) -> op
     else:
         lr = cfg.lr
 
+    if cfg.optim == "adafactor":
+        # Factored second moments (Shazeer & Stern 2018): optimizer state is
+        # O(rows+cols) per matrix instead of O(rows*cols) — the standard TPU
+        # answer for t5-3b/11b readers, where AdamW's f32 m/v alone
+        # (8 bytes/param) exceed a v5e's 16 GB HBM. Beyond the reference's
+        # surface (it trains t5-large with AdamW); the reference-parity
+        # optimizers below stay the default.
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.clip),
+            optax.adafactor(learning_rate=lr,
+                            multiply_by_parameter_scale=True,
+                            clipping_threshold=1.0,
+                            weight_decay_rate=(cfg.weight_decay or None)))
+        if cfg.accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
+        return tx
+
     chain = [optax.clip_by_global_norm(cfg.clip)]
     if cfg.optim == "adam":
         # torch.optim.Adam bias-corrects (reference src/util.py:232)

@@ -122,3 +122,34 @@ def test_layerwise_decay_scales_weight_decay_like_hf():
     got7 = float(updates["layer_7"]["w"]["kernel"][0, 0])
     np.testing.assert_allclose(got0, -lr * (decay ** 7) * wd, rtol=1e-6)
     np.testing.assert_allclose(got7, -lr * (decay ** 0) * wd, rtol=1e-6)
+
+
+def test_adafactor_trains_and_state_is_factored():
+    """optim='adafactor': loss decreases and the optimizer state for a (r,c)
+    kernel is O(r+c), not O(r*c) (the point: t5-3b+ on 16 GB chips)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lako_tpu.core.config import OptimConfig
+
+    r, c = 256, 192
+    params = {"w": {"kernel": jnp.zeros((r, c)) + 0.5}}
+    tx = make_optimizer(OptimConfig(optim="adafactor", lr=0.05,
+                                    scheduler="fixed", total_steps=50))
+    state = tx.init(params)
+
+    # factored state: no leaf carries a full (r, c) second moment
+    big = [x for x in jax.tree_util.tree_leaves(state)
+           if hasattr(x, "shape") and tuple(x.shape) == (r, c)]
+    assert not big, [x.shape for x in big]
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["w"]["kernel"]))
+
+    losses = []
+    for _ in range(12):
+        g = jax.grad(loss_fn)(params)
+        updates, state = tx.update(g, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        losses.append(float(loss_fn(params)))
+    assert losses[-1] < losses[0] * 0.8, losses
