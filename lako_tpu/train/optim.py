@@ -172,12 +172,16 @@ def make_optimizer(cfg: OptimConfig, params_example: Optional[Any] = None) -> op
         # (8 bytes/param) exceed a v5e's 16 GB HBM. Beyond the reference's
         # surface (it trains t5-large with AdamW); the reference-parity
         # optimizers below stay the default.
+        # NOTE: cfg.weight_decay is deliberately NOT forwarded — optax applies
+        # adafactor's weight_decay_rate AFTER lr scaling (decay = rate·p per
+        # step, not lr·rate·p), so the AdamW-scale default of 0.1 would shrink
+        # every parameter by 10% per step. T5-style adafactor training runs
+        # without decoupled weight decay.
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.clip),
             optax.adafactor(learning_rate=lr,
                             multiply_by_parameter_scale=True,
-                            clipping_threshold=1.0,
-                            weight_decay_rate=(cfg.weight_decay or None)))
+                            clipping_threshold=1.0))
         if cfg.accumulation_steps > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
         return tx
