@@ -1,0 +1,355 @@
+"""Ancestry-gather beam search on the stacked decode engine.
+
+Beam search was the last decode mode on the round-1 flax path
+(``models/t5/beam.py``), which reorders the whole self-KV cache along the
+beam axis every step, HF-style (``gather_caches``): at the reference eval
+shape (B=128, beams=4, t5-large) that rewrite moves ~2.5 GB/step of HBM
+traffic that encodes no information — the reorder is just bookkeeping.
+
+This engine keeps the self-KV cache **append-only per beam slot** and makes
+the bookkeeping explicit and tiny instead:
+
+- **Ancestry matrix** ``A (B, K, S) int32``: ``A[b, k, s]`` names the beam
+  *slot* whose cache row holds step ``s`` of beam ``k``'s surviving history.
+  Each step, every slot writes its fresh K/V into its *own* row at position
+  ``step`` (a single (l,B,K,h,d,1) dynamic-update for all layers, same as the
+  greedy engine), sets ``A[:, :, step] = identity``, and after top-k selection
+  only ``A`` is gathered along the beam axis — (B·K·S)·4 bytes (~100 KB at
+  the reference shape) instead of the multi-GB cache rewrite.
+- **Gather at attention time, as arithmetic**: self-attention logits are
+  computed against *all* slots' cache rows (``bqhd,bchds->bqchs``) and the
+  ancestor path is selected with a one-hot of ``A``. Decode attention is
+  HBM-bandwidth-bound, so reading the cache once with K× the (tiny) dot-product
+  FLOPs costs the same bytes as the attention read itself; no gathered copy of
+  the cache is ever materialized.
+- **Cross-attention K/V are NOT beam-tiled.** The flax beam path repeats the
+  encoder states K× (``beam.py:54-55``), multiplying the *dominant* decode
+  HBM stream (cross-KV, ~3.3 GB/step at the reference config) by the beam
+  count. Here the query carries the beam axis (``bqhd,bhdk->bqhk``) and the
+  per-example cross K/V are read once — beam-4 decode reads the same cross-KV
+  bytes as greedy.
+
+Per-step HBM floor at the reference shape (B=128, beams=4, t5-large):
+cross-KV 3.3 GB (unchanged from greedy) + weights 0.74 GB + self-KV
+4×0.6 GB ≈ 6.4 GB vs the flax path's ~13 GB cross + 2.4 GB self + 2.5 GB
+reorder ≈ 18 GB — a ~2.8× bandwidth advantage by construction.
+
+Search semantics are exactly ``models/t5/beam.py`` (itself pinned against HF
+``generate``: num_beams=k, length_penalty, early_stopping=False — the
+defaults the reference hits via ``model.generate``, src/model.py:54-60):
+2k candidates/step, EOS candidates banked into a finished pool, best k
+non-EOS continue, live beams banked at the end. Parity is pinned by
+tests/test_beam_engine.py.
+
+MEASURED (v5e-1, t5-large, N=2, L=130, max_length=50 — the reference eval
+config; r3):
+
+    config                          s/batch    ans/s
+    engine K=4, B=128                1.773      72.2   flax beam cannot run
+                                                      this config at all:
+                                                      beam-tiled cross-KV
+                                                      alone is ~13 GB
+    engine K=4, B=32                 0.530      60.4   2.75x flax
+    flax   K=4, B=32                 1.453      22.0   (cache reorder +
+                                                      K-tiled cross reads)
+    engine K=1, B=128                0.796     160.9   == greedy engine
+                                                      (163.7): the search
+                                                      machinery (3x top_k,
+                                                      ancestry bookkeeping,
+                                                      EOS banking) is free
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lako_tpu.core.config import T5Config
+from lako_tpu.models.t5.engine import (
+    NEG_INF,
+    StackedDecoder,
+    _decode_relpos_rows,
+    _mm,
+    _rms,
+    _take_embedding,
+    engine_supported,
+    stack_decoder_params,
+)
+
+Array = jax.Array
+
+
+class BeamEngine:
+    """Beam-search FiD decode with stacked decoder weights and an
+    append-only, ancestry-indexed self-KV cache.
+
+    Usage::
+
+        eng = BeamEngine(model, max_length=50, num_beams=4)
+        tokens = eng.generate(params, input_ids, mask)   # (B, max_length-1)
+    """
+
+    def __init__(self, model, max_length: int = 50, num_beams: int = 4,
+                 length_penalty: float = 1.0,
+                 layer_unroll: Optional[int] = None):
+        cfg = model.config
+        if not engine_supported(cfg):
+            raise ValueError(
+                "BeamEngine requires homogeneous decoder layers "
+                "(cross_attention_stride unset); use models.t5.beam instead")
+        if num_beams < 1:
+            raise ValueError("num_beams must be >= 1")
+        self.model = model
+        self.cfg = cfg
+        self.max_length = max_length
+        self.steps = max_length - 1
+        self.num_beams = num_beams
+        self.length_penalty = float(length_penalty)
+        self.layer_unroll = (cfg.num_decoder_layers if layer_unroll is None
+                             else layer_unroll)
+        self.dtype = model.dtype
+        self._generate = jax.jit(self._generate_impl)
+
+    # ---- setup -------------------------------------------------------------
+
+    def _encode(self, params, input_ids, mask):
+        enc, enc_mask = self.model.apply(
+            {"params": params}, input_ids, mask,
+            method=type(self.model).encode_passages)
+        return enc, enc_mask
+
+    def _project_cross_kv(self, sd: StackedDecoder, enc: Array):
+        """enc (B,Ke,H) → cross K/V stacked (l,B,hk,d,Ke), key axis minor.
+        One copy per *example* — beams share it through the query axis."""
+        d = self.cfg.d_kv
+        B, Ke, H = enc.shape
+
+        def proj(w):
+            kv = jnp.einsum("bkh,lhe->lbke", enc, w)
+            hk = kv.shape[-1] // d
+            kv = kv.reshape(kv.shape[0], B, Ke, hk, d)
+            return jnp.transpose(kv, (0, 1, 3, 4, 2))     # (l,B,hk,d,Ke)
+
+        return proj(sd.wk_cross), proj(sd.wv_cross)
+
+    # ---- one decode step over all beams ------------------------------------
+
+    def _layer_step(self, x, xs, step, self_pos_bias, cross_bias, onehot):
+        """x: (B, K, H) hidden; onehot: (B, K, Kc, S) ancestry selector.
+        Returns (x, (k_new, v_new)) with k_new/v_new (B, K, h, d)."""
+        cfg = self.cfg
+        dtype = self.dtype
+        h, d = cfg.num_heads, cfg.d_kv
+        (ln_s, wqkv_s, wo_s, ln_c, wq_c, wo_c, ln_m,
+         wi, wi0, wi1, wo_m, sk, sv, ck, cv) = xs
+        B, K, H = x.shape
+
+        # --- self attention: logits vs ALL slots, ancestor path selected by
+        # the one-hot (reads the cache once; never materializes a gather)
+        xn = _rms(x.reshape(B * K, H), ln_s, cfg.layer_norm_epsilon, dtype)
+        qkv = _mm(xn, wqkv_s, dtype).reshape(B, K, 3, h, d)
+        q, k_new, v_new = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # sk/sv: (B, Kc, h, d, S), key axis minor
+        logits_all = jnp.einsum("bqhd,bchds->bqchs", q, sk
+                                ).astype(jnp.float32)
+        logits = jnp.sum(logits_all * onehot[:, :, :, None, :], axis=2)
+        logit_now = jnp.sum(q * k_new, axis=-1).astype(jnp.float32)  # (B,K,h)
+        S = sk.shape[-1]
+        pos = jnp.arange(S)
+        logits = jnp.where(pos[None, None, None, :] == step,
+                           logit_now[..., None], logits)
+        bias = jnp.where(pos[None, :] <= step, self_pos_bias, NEG_INF)  # (h,S)
+        logits = logits + bias[None, None]
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)  # (B,K,h,S)
+        pw = probs[:, :, None] * onehot[:, :, :, None, :].astype(dtype)
+        out = jnp.einsum("bqchs,bchds->bqhd", pw, sv)
+        p_now = jnp.take_along_axis(
+            probs, jnp.full((B, K, h, 1), step, dtype=jnp.int32), axis=-1)
+        out = out + p_now * v_new
+        x = x + _mm(out.reshape(B * K, h * d), wo_s, dtype).reshape(B, K, H)
+
+        # --- cross attention: per-example K/V, beam axis rides the query
+        xn = _rms(x.reshape(B * K, H), ln_c, cfg.layer_norm_epsilon, dtype)
+        qc = _mm(xn, wq_c, dtype).reshape(B, K, h, d)
+        hk = ck.shape[1]
+        if hk == h:
+            cl = jnp.einsum("bqhd,bhdk->bqhk", qc, ck).astype(jnp.float32)
+        else:  # multiquery: one shared K/V head
+            cl = jnp.einsum("bqhd,bdk->bqhk", qc, ck[:, 0]
+                            ).astype(jnp.float32)
+        cl = cl + cross_bias                                  # (B,1,1,Ke)
+        cp = jax.nn.softmax(cl, axis=-1).astype(dtype)
+        if hk == h:
+            co = jnp.einsum("bqhk,bhdk->bqhd", cp, cv)
+        else:
+            co = jnp.einsum("bqhk,bdk->bqhd", cp, cv[:, 0])
+        x = x + _mm(co.reshape(B * K, h * d), wo_c, dtype).reshape(B, K, H)
+
+        # --- mlp
+        xn = _rms(x.reshape(B * K, H), ln_m, cfg.layer_norm_epsilon, dtype)
+        if wi is not None:
+            act = getattr(jax.nn, cfg.feed_forward_proj)(_mm(xn, wi, dtype))
+        else:
+            gact = cfg.feed_forward_proj.removeprefix("gated-")
+            act = getattr(jax.nn, gact)(_mm(xn, wi0, dtype)) \
+                * _mm(xn, wi1, dtype)
+        x = x + _mm(act, wo_m, dtype).reshape(B, K, H)
+        return x, (k_new, v_new)
+
+    def _one_step(self, sd: StackedDecoder, tok, caches, ancestry, cross_kv,
+                  relpos_rows, cross_bias, step):
+        """tok (B,K) int32 → (logits (B,K,V), new caches). ``ancestry`` must
+        already name this step's writer (identity at position ``step``)."""
+        cfg = self.cfg
+        dtype = self.dtype
+        sk, sv = caches
+        ck, cv = cross_kv
+        B, K = tok.shape
+        x = _take_embedding(sd.embedding, tok, dtype)          # (B,K,H)
+        self_pos_bias = jax.lax.dynamic_index_in_dim(
+            relpos_rows, step, axis=0, keepdims=False)         # (h, S)
+        # (B, Kq, Kc, S) selector, shared by every layer this step. Positions
+        # > step select slot 0 arbitrarily — they are masked by the causal
+        # bias before softmax.
+        onehot = (ancestry[:, :, None, :]
+                  == jnp.arange(K)[None, None, :, None]).astype(jnp.float32)
+
+        xs = (sd.ln_self, sd.wqkv_self, sd.wo_self,
+              sd.ln_cross, sd.wq_cross, sd.wo_cross, sd.ln_mlp,
+              sd.wi, sd.wi_0, sd.wi_1, sd.wo_mlp, sk, sv, ck, cv)
+
+        def body(x, layer_xs):
+            return self._layer_step(x, layer_xs, step, self_pos_bias,
+                                    cross_bias, onehot)
+
+        x, (k_cols, v_cols) = jax.lax.scan(
+            body, x, xs,
+            unroll=min(self.layer_unroll, cfg.num_decoder_layers))
+
+        # append-only: one (l,B,K,h,d,1) column write for all layers
+        new_sk = jax.lax.dynamic_update_slice(
+            sk, k_cols.astype(sk.dtype)[..., None], (0, 0, 0, 0, 0, step))
+        new_sv = jax.lax.dynamic_update_slice(
+            sv, v_cols.astype(sv.dtype)[..., None], (0, 0, 0, 0, 0, step))
+
+        x = _rms(x, sd.final_ln, cfg.layer_norm_epsilon, dtype)
+        if sd.lm_head is not None:
+            logits = _mm(x.reshape(-1, x.shape[-1]), sd.lm_head, dtype)
+        else:
+            if cfg.tie_word_embeddings:
+                x = x * (cfg.d_model ** -0.5)
+            logits = x.reshape(-1, x.shape[-1]) @ sd.embedding.T
+        return logits.reshape(B, K, -1), (new_sk, new_sv)
+
+    # ---- beam search loop --------------------------------------------------
+
+    def _generate_impl(self, params, input_ids, mask):
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        K = self.num_beams
+        steps = self.steps
+        V = cfg.vocab_size
+        h, d = cfg.num_heads, cfg.d_kv
+
+        sd = stack_decoder_params(params, cfg, dtype=self.dtype)
+        enc, enc_mask = self._encode(params, input_ids, mask)
+        cross_kv = self._project_cross_kv(sd, enc)
+        cross_bias = jnp.where(enc_mask, 0.0, NEG_INF)[:, None, None, :]
+        relpos_rows = _decode_relpos_rows(sd.relpos, cfg, steps)
+        zeros = jnp.zeros((cfg.num_decoder_layers, B, K, h, d, steps),
+                          dtype=self.dtype)
+        caches = (zeros, zeros)
+        ancestry = jnp.zeros((B, K, steps), jnp.int32)
+
+        # search state mirrors models/t5/beam.py exactly (HF-pinned there)
+        init_tokens = jnp.full((B, K, steps), cfg.pad_token_id, jnp.int32)
+        init_scores = jnp.concatenate(
+            [jnp.zeros((B, 1)), jnp.full((B, K - 1), NEG_INF)], axis=1
+        ).astype(jnp.float32)
+        fin_tokens = jnp.full((B, K, steps), cfg.pad_token_id, jnp.int32)
+        fin_scores = jnp.full((B, K), NEG_INF, jnp.float32)
+        start = jnp.full((B, K), cfg.decoder_start_token_id, jnp.int32)
+        identity = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                                    (B, K, 1))
+
+        def body(carry, step):
+            tokens, scores, caches_, anc, fin_t, fin_s, prev = carry
+            # this step's K/V rows are written by their own slots
+            anc = jax.lax.dynamic_update_slice(anc, identity, (0, 0, step))
+            logits, caches_ = self._one_step(
+                sd, prev, caches_, anc, cross_kv, relpos_rows, cross_bias,
+                step)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            cand = scores[:, :, None] + logp                   # (B, K, V)
+            top_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), 2 * K)
+            src_beam = top_idx // V
+            tok = (top_idx % V).astype(jnp.int32)
+            is_eos = tok == cfg.eos_token_id
+
+            # bank EOS candidates into the finished pool
+            length = (step + 1).astype(jnp.float32)
+            norm = top_scores / (length ** self.length_penalty)
+            eos_scores = jnp.where(is_eos, norm, NEG_INF)
+            pool_scores = jnp.concatenate([fin_s, eos_scores], axis=1)
+            src_prefix = jnp.take_along_axis(tokens, src_beam[:, :, None],
+                                             axis=1)
+            onehot_t = jax.nn.one_hot(step, steps, dtype=jnp.int32)
+            eos_seq = src_prefix * (1 - onehot_t) + cfg.eos_token_id * onehot_t
+            pool_tokens = jnp.concatenate([fin_t, eos_seq], axis=1)
+            new_fin_s, fin_idx = jax.lax.top_k(pool_scores, K)
+            new_fin_t = jnp.take_along_axis(pool_tokens, fin_idx[:, :, None],
+                                            axis=1)
+
+            # continue with the best K non-EOS candidates
+            cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
+            live_scores, live_pos = jax.lax.top_k(cont_scores, K)
+            live_beam = jnp.take_along_axis(src_beam, live_pos, axis=1)
+            live_tok = jnp.take_along_axis(tok, live_pos, axis=1)
+            new_tokens = jnp.take_along_axis(tokens, live_beam[:, :, None],
+                                             axis=1)
+            new_tokens = (new_tokens * (1 - onehot_t)
+                          + live_tok[:, :, None] * onehot_t)
+
+            # the whole cache reorder, in 4·B·K·S bytes
+            anc = jnp.take_along_axis(anc, live_beam[:, :, None], axis=1)
+            return (new_tokens, live_scores, caches_, anc, new_fin_t,
+                    new_fin_s, live_tok), None
+
+        carry = (init_tokens, init_scores, caches, ancestry, fin_tokens,
+                 fin_scores, start)
+        (tokens, scores, _, _, fin_t, fin_s, _), _ = jax.lax.scan(
+            body, carry, jnp.arange(steps, dtype=jnp.int32))
+
+        # bank the surviving live beams (length = steps)
+        live_norm = scores / (float(steps) ** self.length_penalty)
+        pool_scores = jnp.concatenate([fin_s, live_norm], axis=1)
+        pool_tokens = jnp.concatenate([fin_t, tokens], axis=1)
+        best = jnp.argmax(pool_scores, axis=1)
+        out = jnp.take_along_axis(pool_tokens, best[:, None, None],
+                                  axis=1)[:, 0]
+
+        # pad everything after the first EOS
+        eos_mask = out == cfg.eos_token_id
+        after = jnp.cumsum(jnp.cumsum(eos_mask, axis=1), axis=1) > 1
+        return jnp.where(after, cfg.pad_token_id, out)
+
+    def generate(self, params, input_ids, mask):
+        """(params, (B,N,L) ids, (B,N,L) mask) → tokens (B, max_length-1),
+        padded after the first EOS. Matches models/t5/beam.py output."""
+        return self._generate(params, input_ids, mask)
+
+
+def make_beam_engine_generate_fn(model, max_length: int = 50,
+                                 num_beams: int = 4,
+                                 length_penalty: float = 1.0,
+                                 layer_unroll: Optional[int] = None):
+    """Drop-in replacement for beam.make_beam_generate_fn on the engine."""
+    eng = BeamEngine(model, max_length=max_length, num_beams=num_beams,
+                     length_penalty=length_penalty, layer_unroll=layer_unroll)
+
+    def fn(params, input_ids, mask):
+        return eng.generate(params, input_ids, mask)
+
+    return fn

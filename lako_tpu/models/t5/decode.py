@@ -186,16 +186,46 @@ def make_best_generate_fn(
     model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False,
     keep_tokens=None, backend: str = "auto", kv_dtype: str = "native",
     weights_dtype: str = "native", chunk_size=None, early_exit: bool = False,
+    num_beams: int = 1, length_penalty: float = 1.0,
 ) -> Callable:
     """Backend dispatcher: the stacked scan-over-layers engine
-    (models/t5/engine.py — the fast path) when the model supports it, the
-    layer-unrolled flax path otherwise.
+    (models/t5/engine.py greedy, beam_engine.py beam — the fast paths) when
+    the model supports it, the layer-unrolled flax path otherwise.
 
     backend: "auto" | "engine" | "flax". Token elimination (keep_tokens) and
     early_exit-while-loop are flax-path-only features; the engine covers the
-    early-exit use case with chunk_size instead.
+    early-exit use case with chunk_size instead. ``num_beams > 1`` selects
+    beam search (reference surface: src/model.py:54-60 via HF generate);
+    cross-attention score capture requires greedy, matching the reference's
+    scoring pipeline.
     """
     from lako_tpu.models.t5.engine import engine_supported, make_engine_generate_fn
+
+    if num_beams > 1:
+        if collect_cross_scores:
+            raise ValueError(
+                "cross-attention score capture requires greedy decode")
+        beam_ok = (engine_supported(model.config) and keep_tokens is None
+                   and kv_dtype == "native" and weights_dtype == "native")
+        if backend == "engine" and not beam_ok:
+            raise ValueError(
+                "decode_backend='engine' but the beam engine does not "
+                "support this configuration (FiDO stride / keep_tokens / "
+                "int8 dtypes)")
+        if backend != "flax" and beam_ok:
+            from lako_tpu.models.t5.beam_engine import \
+                make_beam_engine_generate_fn
+
+            beam_fn = make_beam_engine_generate_fn(
+                model, max_length=max_length, num_beams=num_beams,
+                length_penalty=length_penalty)
+        else:
+            from lako_tpu.models.t5.beam import make_beam_generate_fn
+
+            beam_fn = make_beam_generate_fn(
+                model, max_length=max_length, num_beams=num_beams,
+                length_penalty=length_penalty)
+        return lambda params, ids, mask: (beam_fn(params, ids, mask), None)
 
     engine_ok = (engine_supported(model.config) and keep_tokens is None
                  and not early_exit)

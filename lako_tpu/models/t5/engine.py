@@ -39,7 +39,9 @@ Numerics match the flax decode path (models/t5/decode.py) — pinned by
 tests/test_engine.py against greedy_generate on CPU.
 
 Unsupported (falls back to the flax path): FiDO cross_attention_stride
-(heterogeneous layers break the scan), beam search.
+(heterogeneous layers break the scan). Beam search runs on the companion
+ancestry-gather engine (models/t5/beam_engine.py) — no mode is left on the
+round-1 flax slow path except FiDO-stride models.
 
 MEASURED (v5e-1, t5-large, B=128, N=2, L=130, max_length=50 — the reference
 eval config, test_reader.py:65-69; scripts/bench_decode.py, r2). The round-1
@@ -85,6 +87,23 @@ from lako_tpu.core.config import T5Config
 from lako_tpu.models.t5.layers import NEG_INF, relative_position_bucket
 
 Array = jax.Array
+
+# Measured decode cost model on the tunneled v5e runtime (r2 table above):
+# each extra device call costs ~72 ms dispatch; one decode step at the
+# reference shape costs ~16 ms (0.782 s / 49 steps). Chunked early exit
+# only pays when answers usually finish within the first chunk or two —
+# on a full-length workload every extra chunk is pure dispatch overhead
+# (measured: chunk_size=16 ran 123.9 vs 163.7 ans/s over full 49 steps).
+CHUNK_DISPATCH_COST_S = 0.072
+CHUNK_PER_STEP_COST_S = 0.016
+
+
+def chunking_worst_case_overhead(steps: int, chunk_size: int) -> float:
+    """Fractional slowdown vs unchunked if every row runs to max_length:
+    (n_chunks - 1) dispatches over the unchunked step cost."""
+    n_chunks = -(-steps // chunk_size)
+    return ((n_chunks - 1) * CHUNK_DISPATCH_COST_S
+            / max(steps * CHUNK_PER_STEP_COST_S, 1e-9))
 
 
 class StackedDecoder(NamedTuple):
@@ -275,6 +294,27 @@ class DecodeEngine:
         self.kv_dtype = kv_dtype
         self.weights_dtype = weights_dtype
         self.fused_cross = fused_cross
+        # Chunking policy (measured, see module constants): one chunk that
+        # covers every step is exactly the unchunked program — normalize it
+        # away so the caller never pays the two-call prefill split; a small
+        # chunk on a workload whose answers run long is a measured
+        # pessimization, so warn with the worst-case arithmetic.
+        if chunk_size is not None and chunk_size >= self.steps:
+            chunk_size = None
+        if chunk_size is not None:
+            over = chunking_worst_case_overhead(self.steps, chunk_size)
+            if over > 0.25:
+                from lako_tpu.core.logging import get_logger
+
+                get_logger().warning(
+                    "decode chunk_size=%d adds up to %d extra device calls "
+                    "(~%.0f ms each on this runtime) if answers run to "
+                    "max_length=%d — a worst-case +%.0f%% vs unchunked. "
+                    "Chunking only pays when most answers finish within "
+                    "~%d tokens; otherwise disable it.",
+                    chunk_size, -(-self.steps // chunk_size) - 1,
+                    CHUNK_DISPATCH_COST_S * 1e3, max_length, 100 * over,
+                    chunk_size)
         self.chunk_size = chunk_size
         # unroll factor for the layer scan: 1 = pure scan (smallest compile,
         # but measured 2.4x slower — per-iteration overhead), full unroll =

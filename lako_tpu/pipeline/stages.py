@@ -157,13 +157,12 @@ def eval_reader_stage(
     if num_beams > 1:
         if collect:
             raise ValueError("cross-attention score writing requires greedy decode")
-        from lako_tpu.models.t5.beam import make_beam_generate_fn
+        from lako_tpu.models.t5.decode import make_best_generate_fn
 
-        beam_fn = make_beam_generate_fn(model, max_length=cfg.eval_max_length,
-                                        num_beams=num_beams)
-
-        def generate_fn(params, ids, mask):
-            return beam_fn(params, ids, mask), None
+        # ancestry-gather beam engine when supported, flax beam otherwise
+        generate_fn = make_best_generate_fn(
+            model, max_length=cfg.eval_max_length, num_beams=num_beams,
+            backend=cfg.decode_backend)
     elif collect:
         from lako_tpu.models.t5.decode import make_generate_and_score_fn
 

