@@ -50,9 +50,25 @@ class LxmertVQARunner:
         types = np.zeros((B, L), dtype=np.int32)
         for i, sent in enumerate(sents):
             if facts is not None:
-                a = self.tokenizer.encode(facts[i], add_special=True)
-                b = (self.tokenizer.encode(sent, add_special=False)
-                     + [self.tokenizer.sep_id])
+                # HF pair encoding truncates longest_first (advisor r2):
+                # trim one token from the longer CONTENT segment until the
+                # pair plus [CLS]/[SEP]/[SEP] fits — a naive concat-then-clip
+                # can drop the entire question behind a long fact.
+                ca = self.tokenizer.encode(facts[i], add_special=False)
+                cb = self.tokenizer.encode(sent, add_special=False)
+                budget = max(L - 3, 0)
+                while len(ca) + len(cb) > budget:
+                    # tie → trim the second segment, as HF truncate_sequences
+                    if len(ca) > len(cb) and ca:
+                        ca = ca[:-1]
+                    elif cb:
+                        cb = cb[:-1]
+                    elif ca:
+                        ca = ca[:-1]
+                    else:
+                        break
+                a = [self.tokenizer.cls_id] + ca + [self.tokenizer.sep_id]
+                b = cb + [self.tokenizer.sep_id]
                 toks = (a + b)[:L]
                 seg = ([0] * len(a) + [1] * len(b))[:L]
             else:

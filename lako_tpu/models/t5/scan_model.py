@@ -13,9 +13,12 @@ Per-layer rematerialization comes from ``jax.checkpoint`` on the scan body
 (``remat=True``) — the idiomatic scan+remat pairing for long stacks — and
 training dropout derives per-layer streams with ``jax.random.fold_in``.
 With dropout off the loss/logits/grads match ``FiDT5.apply`` exactly
-(tests/test_scan_model.py); with dropout on the rng STREAMS differ from the
-unrolled module's (same distribution, different draws) — documented, not a
-parity break, since rng placement is an implementation detail.
+(tests/test_scan_model.py); with dropout on, every flax dropout SITE is
+mirrored (embeddings, attention probs, attn output, mlp inner pre-wo, mlp
+output, final hidden — 4 sub-streams per encoder layer, 6 per decoder
+layer) but the rng STREAMS differ from the unrolled module's (same
+distribution, different draws) — not a parity break, since rng placement
+is an implementation detail.
 
 Reference parity: same computation as src/model.py's FiDT5 training forward
 (reshape trick src/model.py:227-234, CE loss train_reader.py) — this is a
@@ -94,8 +97,11 @@ def stack_decoder_blocks(params, cfg: T5Config,
     )
 
 
-def _attend(x_q, x_kv, wq, wk, wv, wo, bias, cfg, dtype, hk=None):
-    """Unscaled T5 multi-head attention over full sequences."""
+def _attend(x_q, x_kv, wq, wk, wv, wo, bias, cfg, dtype, hk=None,
+            probs_drop=None):
+    """Unscaled T5 multi-head attention over full sequences.
+    ``probs_drop`` mirrors the flax path's attention-probability dropout
+    (layers.py:213-214)."""
     h, d = cfg.num_heads, cfg.d_kv
     B, Lq, _ = x_q.shape
     Lk = x_kv.shape[1]
@@ -106,17 +112,24 @@ def _attend(x_q, x_kv, wq, wk, wv, wo, bias, cfg, dtype, hk=None):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
     logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    if probs_drop is not None:
+        probs = probs_drop(probs)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     return ctx.transpose(0, 2, 1, 3).reshape(B, Lq, -1) @ wo
 
 
-def _mlp_tail(x, ln_m, wi, wi0, wi1, wo_m, cfg, dtype, drop):
+def _mlp_tail(x, ln_m, wi, wi0, wi1, wo_m, cfg, dtype, drop,
+              inner_drop=None):
+    """``inner_drop`` mirrors T5MLP's pre-wo activation dropout
+    (layers.py:256-258)."""
     xn = _rms(x, ln_m, cfg.layer_norm_epsilon, dtype)
     if wi is not None:
         act = getattr(jax.nn, cfg.feed_forward_proj)(xn @ wi)
     else:
         gact = cfg.feed_forward_proj.removeprefix("gated-")
         act = getattr(jax.nn, gact)(xn @ wi0) * (xn @ wi1)
+    if inner_drop is not None:
+        act = inner_drop(act)
     return x + drop(act @ wo_m)
 
 
@@ -157,17 +170,20 @@ def make_scan_loss_fn(cfg: T5Config, dtype=jnp.float32, remat: bool = True):
             x = carry
             blk, idx = layer
             if rng is not None and rate > 0.0:
-                # the flax block has attn-out and mlp-out dropouts; one
-                # per-layer stream split in two mirrors the structure
+                # the flax block has FOUR dropout sites per encoder layer:
+                # attention probs, attn output, mlp inner (pre-wo), mlp
+                # output — one per-layer stream split in four mirrors that
                 r = jax.random.fold_in(rng, 1000 + idx)
-                r1, r2 = jax.random.split(r)
+                r1, r2, r3, r4 = jax.random.split(r, 4)
                 h_in = x
                 xn = _rms(h_in, blk[0], cfg.layer_norm_epsilon, dtype)
                 att = _attend(xn, xn, blk[1], blk[2], blk[3], blk[4],
-                              bias, cfg, dtype)
-                x = h_in + _dropout(att, rate, r1)
+                              bias, cfg, dtype,
+                              probs_drop=lambda t: _dropout(t, rate, r1))
+                x = h_in + _dropout(att, rate, r2)
                 x = _mlp_tail(x, blk[5], blk[6], blk[7], blk[8], blk[9],
-                              cfg, dtype, lambda t: _dropout(t, rate, r2))
+                              cfg, dtype, lambda t: _dropout(t, rate, r4),
+                              inner_drop=lambda t: _dropout(t, rate, r3))
             else:
                 x = _apply_block(cfg, dtype, x, bias, blk)
             return x, None
@@ -199,18 +215,26 @@ def make_scan_loss_fn(cfg: T5Config, dtype=jnp.float32, remat: bool = True):
         def body(carry, layer):
             x = carry
             blk, idx = layer
-            drop = (lambda t, i: _dropout(
-                t, rate, jax.random.fold_in(jax.random.fold_in(rng, 2000 + idx),
-                                            i))) \
-                if (rng is not None and rate > 0.0) else (lambda t, i: t)
+            # SIX dropout sites per decoder layer, matching the flax block:
+            # self probs, self out, cross probs, cross out, mlp inner, mlp out
+            if rng is not None and rate > 0.0:
+                drop = lambda t, i: _dropout(t, rate, jax.random.fold_in(
+                    jax.random.fold_in(rng, 2000 + idx), i))
+                pdrop = lambda i: (lambda t: drop(t, i))
+            else:
+                drop = lambda t, i: t
+                pdrop = lambda i: None
             xn = _rms(x, blk.ln_self, cfg.layer_norm_epsilon, dtype)
             x = x + drop(_attend(xn, xn, blk.sq, blk.sk, blk.sv, blk.so,
-                                 self_bias, cfg, dtype), 0)
+                                 self_bias, cfg, dtype,
+                                 probs_drop=pdrop(0)), 1)
             xn = _rms(x, blk.ln_cross, cfg.layer_norm_epsilon, dtype)
             x = x + drop(_attend(xn, enc, blk.cq, blk.ck, blk.cv, blk.co,
-                                 cross_bias, cfg, dtype), 1)
+                                 cross_bias, cfg, dtype,
+                                 probs_drop=pdrop(2)), 3)
             x = _mlp_tail(x, blk.ln_mlp, blk.wi, blk.wi_0, blk.wi_1,
-                          blk.wo_mlp, cfg, dtype, lambda t: drop(t, 2))
+                          blk.wo_mlp, cfg, dtype, lambda t: drop(t, 5),
+                          inner_drop=pdrop(4))
             return x, None
 
         step = jax.checkpoint(body) if remat else body

@@ -133,3 +133,29 @@ def test_scan_train_step_loss_decreases():
         state, loss = step(state, ids, mask, labels, rng)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_scan_dropout_site_count_matches_flax():
+    """The scan backend must apply every flax dropout SITE (advisor r2,
+    medium): embeddings + final hidden (enc & dec), and per layer: attention
+    probs, attn out, mlp inner, mlp out (4 enc / 6 dec sites). Scan traces
+    each body once, so trace-time _dropout calls = 4 + 4 + 6 = 14."""
+    import lako_tpu.models.t5.scan_model as sm
+
+    cfg, model, params, ids, mask, labels = _setup()
+    calls = []
+    orig = sm._dropout
+
+    def counting(x, rate, rng):
+        calls.append(x.shape)
+        return orig(x, rate, rng)
+
+    sm._dropout = counting
+    try:
+        fn = sm.make_scan_loss_fn(cfg)
+        loss, _ = fn(params, ids, mask, labels,
+                     dropout_rng=jax.random.PRNGKey(0))
+    finally:
+        sm._dropout = orig
+    assert np.isfinite(float(loss))
+    assert len(calls) == 14, calls
