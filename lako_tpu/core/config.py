@@ -283,8 +283,13 @@ class MeshConfig(_ConfigBase):
 
     data: int = -1  # -1: all devices on the data axis
     model: int = 1
+    # pipeline-parallel stages (parallel/pp_train.py): >1 adds a 'pipe' mesh
+    # axis and routes training through the full-model GPipe step — beyond
+    # the reference (SURVEY §2.7: DDP only), needed for t5-3b/11b stacks
+    pipe: int = 1
     batch_axis: str = "data"
     model_axis: str = "model"
+    pipe_axis: str = "pipe"
 
 
 @dataclass(frozen=True)
@@ -322,6 +327,10 @@ class ReaderTrainConfig(_ConfigBase):
     # Steps per device call for chunked early-exit decode (None = one call for
     # the whole max_length; small values exit early on short answers).
     decode_chunk_size: Optional[int] = None
+    # Microbatches per step under pipeline parallelism (mesh.pipe > 1);
+    # GPipe bubble fraction is (pipe-1)/(microbatches+pipe-1), so use
+    # several x pipe for real runs.
+    pp_microbatches: int = 1
     data: ReaderDataConfig = field(default_factory=ReaderDataConfig)
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(lr=4e-5))
     mesh: MeshConfig = field(default_factory=MeshConfig)

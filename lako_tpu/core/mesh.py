@@ -18,19 +18,27 @@ from lako_tpu.core.config import MeshConfig
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over all (or the given) devices.
+    """Build a (data[, pipe], model) mesh over all (or the given) devices.
 
-    ``cfg.data == -1`` means "everything not taken by the model axis".
+    ``cfg.data == -1`` means "everything not taken by the model/pipe axes".
+    With ``cfg.pipe > 1`` the mesh gains a pipe axis between data and model
+    (pipeline stages ride contiguous devices → stage hops stay on ICI
+    neighbors) and training routes through parallel/pp_train.py.
     """
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = max(1, cfg.model)
-    if n % model != 0:
-        raise ValueError(f"{n} devices not divisible by model axis {model}")
-    data = cfg.data if cfg.data > 0 else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    pipe = max(1, cfg.pipe)
+    if n % (model * pipe) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model={model} x pipe={pipe}")
+    data = cfg.data if cfg.data > 0 else n // (model * pipe)
+    if data * model * pipe != n:
+        raise ValueError(f"mesh {data}x{pipe}x{model} != {n} devices")
+    if pipe > 1:
+        arr = np.asarray(devices).reshape(data, pipe, model)
+        return Mesh(arr, (cfg.batch_axis, cfg.pipe_axis, cfg.model_axis))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (cfg.batch_axis, cfg.model_axis))
 

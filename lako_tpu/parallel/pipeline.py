@@ -87,8 +87,11 @@ def stack_encoder_blocks(params, cfg: T5Config, n_stages: int,
 
 
 def _rms(x, w, eps, dtype):
+    # weight cast to the compute dtype like layers.RMSNorm:36-37 — an f32
+    # weight must not promote a bf16 stream (caught by the 3b bf16 test)
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(dtype) * w
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(dtype) \
+        * jnp.asarray(w, dtype)
 
 
 def _apply_block(cfg: T5Config, dtype, x: Array, bias: Array, blk) -> Array:
@@ -139,6 +142,78 @@ def sequential_encoder_blocks(cfg: T5Config, stacked: StackedEncoderBlocks,
     return x
 
 
+def pipeline_stages(mesh: Mesh, stage_fn, stage_params, micro_x: Array,
+                    micro_aux=None, const=None,
+                    pipe_axis: str = "pipe",
+                    data_axis: Optional[str] = None,
+                    remat: bool = False) -> Array:
+    """Generalized GPipe fill-and-drain: run M microbatches through S stages.
+
+    - ``stage_params``: pytree whose leaves carry a leading (S, ...) stage
+      axis, sharded ``P(pipe_axis)`` — each device holds 1/S of the weights.
+    - ``micro_x``: (M, mB, ...) stage-0 inputs; dim 1 may be sharded over
+      ``data_axis`` (DP x PP). Activations hop stage→stage+1 via
+      ``lax.ppermute`` on ICI.
+    - ``micro_aux``: pytree of per-microbatch side inputs with leading
+      (M, mB, ...) axes, replicated over ``pipe``. Each stage
+      dynamic-indexes the microbatch it is currently processing
+      (``t - s``) LOCALLY — aux never ships over the interconnect (the
+      round-2 design shipped the attention bias through ppermute; indexing
+      replicated aux is free by comparison and generalizes to the decoder's
+      cross-attended encoder states).
+    - ``const``: pytree replicated everywhere, passed to every stage call
+      (e.g. a shared relative-position bias).
+    - ``stage_fn(stage_slice, x, aux_m, const) -> y`` with ``y`` shaped like
+      ``x``. With ``remat=True`` the stage body is wrapped in
+      ``jax.checkpoint`` so backward recomputes per (tick, stage) — GPipe's
+      per-stage rematerialization.
+
+    Returns (M, mB, ...) last-stage outputs, replicated over ``pipe``.
+    Backward: ``jax.grad`` differentiates through — ppermute's transpose is
+    the reverse permute, so gradients pipeline backwards automatically and
+    microbatch gradients accumulate inside the schedule (the loss sums over
+    the M axis outside).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    S = mesh.shape[pipe_axis]
+    M = micro_x.shape[0]
+    x_spec = P(None, data_axis)
+    aux_spec = jax.tree_util.tree_map(lambda _: P(None, data_axis), micro_aux)
+    body = jax.checkpoint(stage_fn) if remat else stage_fn
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(pipe_axis), x_spec, aux_spec,
+                  jax.tree_util.tree_map(lambda _: P(), const)),
+        out_specs=x_spec, check_rep=False)
+    def run(stage_params, xs, aux, cst):
+        stage = jax.tree_util.tree_map(lambda a: a[0], stage_params)
+        s = jax.lax.axis_index(pipe_axis)
+        perm = [(i, (i + 1) % S) for i in range(S)]
+        outs = jnp.zeros_like(xs)
+        carry = jnp.zeros_like(xs[0])
+        for t in range(M + S - 1):        # static fill-and-drain schedule
+            x_in = jnp.where(s == 0, xs[min(t, M - 1)], carry)
+            # microbatch index this stage works on at tick t (clipped out of
+            # window — the result is masked away)
+            m = jnp.clip(t - s, 0, M - 1)
+            aux_m = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, m, axis=0,
+                                                       keepdims=False), aux)
+            y = body(stage, x_in, aux_m, cst)
+            w = t - (S - 1)
+            if 0 <= w < M:
+                outs = outs.at[w].set(jnp.where(s == S - 1, y, outs[w]))
+            if t < M + S - 2:             # last tick has nothing left to send
+                carry = jax.lax.ppermute(y, pipe_axis, perm)
+        # only the last stage holds real outputs → masked psum replicates
+        return jax.lax.psum(
+            jnp.where(s == S - 1, outs, jnp.zeros_like(outs)), pipe_axis)
+
+    return run(stage_params, micro_x, micro_aux, const)
+
+
 def pipeline_encoder_blocks(mesh: Mesh, cfg: T5Config,
                             stacked: StackedEncoderBlocks,
                             micro_x: Array, micro_bias: Array,
@@ -149,12 +224,17 @@ def pipeline_encoder_blocks(mesh: Mesh, cfg: T5Config,
 
     micro_bias: (M, mB|1, heads|1, L, L) additive attention bias per
     microbatch (relpos + key mask) — it travels with its activation through
-    the pipeline. Rows may additionally be sharded over ``data_axis``
-    (DP x PP). Returns (M, mB, L, H), replicated over the pipe axis.
+    the pipeline. With ``data_axis`` set, size-1 bias rows are broadcast to
+    the full microbatch first (a size-1 axis cannot be sharded over the data
+    axis — advisor r2). Returns (M, mB, L, H), replicated over the pipe axis.
     """
     from jax.experimental.shard_map import shard_map
 
     S = mesh.shape[pipe_axis]
+    if data_axis is not None and micro_bias.shape[1] == 1 < micro_x.shape[1]:
+        micro_bias = jnp.broadcast_to(
+            micro_bias, micro_bias.shape[:1] + (micro_x.shape[1],)
+            + micro_bias.shape[2:])
     dspec = data_axis  # None → replicated rows
     x_spec = P(None, dspec)
     b_spec = P(None, dspec)

@@ -186,24 +186,60 @@ def train_reader(
             jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
         )
         init_params = variables["params"]
+    use_pp = cfg.mesh.pipe > 1
     best_dev_em, step = 0.0, 0
     if resume_from is not None:
-        opt_template = tx.init(init_params) if not reset_params else None
+        opt_template = (tx.init(init_params)
+                        if not (reset_params or use_pp) else None)
         params, opt_state, meta = load_checkpoint(resume_from, init_params,
                                                   opt_template)
         init_params = params
-        init_params = jax.device_put(init_params, replicated(mesh))
-        state = TrainState.create(init_params, tx)
-        if not reset_params and opt_state is not None:
-            step = int(meta.get("step", 0))
-            best_dev_em = float(meta.get("best_eval_metric", 0.0))
-            state = state.replace(opt_state=jax.device_put(opt_state, replicated(mesh)),
-                                  step=jnp.asarray(step, jnp.int32))
-    else:
-        init_params = jax.device_put(init_params, replicated(mesh))
-        state = TrainState.create(init_params, tx)
+        if not use_pp:
+            init_params = jax.device_put(init_params, replicated(mesh))
+            state = TrainState.create(init_params, tx)
+            if not reset_params and opt_state is not None:
+                step = int(meta.get("step", 0))
+                best_dev_em = float(meta.get("best_eval_metric", 0.0))
+                state = state.replace(
+                    opt_state=jax.device_put(opt_state, replicated(mesh)),
+                    step=jnp.asarray(step, jnp.int32))
+            elif not reset_params:
+                logger.warning("requested optimizer resume but checkpoint "
+                               "has no optimizer state; starting fresh")
+    if use_pp:
+        # pipeline-parallel layout: block stacks + optimizer state live 1/S
+        # per pipe device (parallel/pp_train.py); checkpoints stay in the
+        # canonical tree (params only — PP opt-state resume is out of scope)
+        from lako_tpu.parallel.pp_train import (fid_params_from_pp,
+                                                make_pp_train_step,
+                                                place_pp_params,
+                                                pp_params_from_fid)
 
-    train_step = make_reader_train_step(model, backend=cfg.train_backend)
+        if resume_from is not None and not reset_params:
+            logger.warning("mesh.pipe>1: optimizer state is not restored "
+                           "under pipeline parallelism (params only)")
+        if t5_cfg.dropout_rate > 0.0:
+            logger.warning("mesh.pipe>1: the PP train step runs without "
+                           "dropout (set dropout_rate=0 to silence)")
+        pp = place_pp_params(
+            mesh, pp_params_from_fid(init_params, t5_cfg, cfg.mesh.pipe),
+            pipe_axis=cfg.mesh.pipe_axis)
+        state = TrainState.create(pp, tx)
+        pp_step = make_pp_train_step(
+            mesh, t5_cfg, cfg.pp_microbatches, dtype=dtype,
+            remat=cfg.use_remat, pipe_axis=cfg.mesh.pipe_axis,
+            data_axis=cfg.mesh.batch_axis)
+        train_step = lambda s, ids, mask, labels, rng: pp_step(
+            s, ids, mask, labels)
+        to_eval_params = lambda s: fid_params_from_pp(s.params, t5_cfg)
+        to_ckpt = lambda s: (fid_params_from_pp(s.params, t5_cfg), None)
+    else:
+        if resume_from is None:
+            init_params = jax.device_put(init_params, replicated(mesh))
+            state = TrainState.create(init_params, tx)
+        train_step = make_reader_train_step(model, backend=cfg.train_backend)
+        to_eval_params = lambda s: s.params
+        to_ckpt = lambda s: (s.params, s.opt_state)
     generate_fn = make_best_generate_fn(
         model, max_length=cfg.eval_max_length, backend=cfg.decode_backend,
         kv_dtype=cfg.decode_kv_dtype,
@@ -231,12 +267,12 @@ def train_reader(
             step += 1
             if preemption.preempted():
                 preemption.handle_preemption(lambda: save_checkpoint(
-                    ckpt_dir, "preempted", state.params, state.opt_state,
+                    ckpt_dir, "preempted", *to_ckpt(state),
                     step, best_dev_em) if save_checkpoints else None)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
         patience += 1
-        ev = evaluate_reader(generate_fn, state.params, eval_ds, collator,
+        ev = evaluate_reader(generate_fn, to_eval_params(state), eval_ds, collator,
                              tokenizer, cfg.eval_batch_size, mesh,
                              batch_axis=cfg.mesh.batch_axis)
         dev_em = ev["em"]
@@ -250,12 +286,12 @@ def train_reader(
             patience = 0
             best_dev_em = dev_em
             if save_checkpoints:
-                save_checkpoint(ckpt_dir, "best_dev", state.params, state.opt_state,
+                save_checkpoint(ckpt_dir, "best_dev", *to_ckpt(state),
                                 step, best_dev_em)
         if save_checkpoints:
             # refreshed every epoch for crash/preemption resume (the reference
             # only writes on improvement; `latest` then points here)
-            save_checkpoint(ckpt_dir, "last", state.params, state.opt_state,
+            save_checkpoint(ckpt_dir, "last", *to_ckpt(state),
                             step, best_dev_em)
         if patience > cfg.early_stop:
             logger.info("early stop in epoch %d", epoch)
