@@ -1,0 +1,162 @@
+"""hit@k ladder at reference scale, end-to-end THROUGH THE CLI (VERDICT r2 #7).
+
+The 300k retrieval bench times the raw MIPS matmul; this script validates the
+*pipeline* at the reference's corpus scale — tokenization, embedding, the
+DenseIndex save/load round-trip, id→sentence mapping, retrieve JSON schema,
+small-range rerank grouping, and the full k∈{5..500} evaluation ladder
+(reference: generate_fact_embeddings.py:34,100 — 300,600 facts;
+evaluate_retrieved_facts.py:33 — the hitk ladder).
+
+Construction (zero-egress, no trained weights exist here): a synthetic
+300,600-sentence corpus; each of the N_QUERIES questions is the verbatim text
+of one gold fact that carries a unique planted answer token. A shared-encoder
+retriever embeds identical strings identically, so the gold fact's inner
+product is its squared norm — the ladder hits ~1.0 at small k IF AND ONLY IF
+every id/sentence/score mapping across the four stages is correct. A random
+but honest end-to-end correctness signal at full scale, plus per-stage wall
+times.
+
+Run: python scripts/bench_retrieval_pipeline.py [--out artifacts/...json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N_FACTS = 300_600
+N_QUERIES = 2_000
+
+
+def build_data(wd: Path, rng):
+    words = [f"w{i:04d}" for i in range(5000)]
+    sents = []
+    for i in range(N_FACTS):
+        toks = list(rng.choice(words, size=8))
+        if i < N_QUERIES:
+            toks[3] = f"ans{i:05d}"       # unique planted answer token
+        sents.append(" ".join(toks))
+    corpus = [{"sentence": s, "id": i} for i, s in enumerate(sents)]
+    (wd / "corpus.json").write_text(json.dumps(corpus))
+    queries = [{"question": sents[i], "answer": [f"ans{i:05d}"], "fact": []}
+               for i in range(N_QUERIES)]
+    (wd / "queries.json").write_text(json.dumps(queries))
+    return corpus
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/lako_retrieval_pipeline")
+    ap.add_argument("--out", default="artifacts/retrieval_ladder.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        import jax
+
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=8"
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from lako_tpu.core.checkpoint import save_checkpoint
+    from lako_tpu.core.config import RetrieverConfig
+    from lako_tpu.core.logging import init_logger
+    from lako_tpu.models.retriever import Retriever
+    from lako_tpu.pipeline.cli import main as cli
+
+    init_logger()
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    build_data(wd, rng)
+    walls = {"build_data": time.time() - t0}
+
+    # tokenizer over the corpus vocabulary
+    t0 = time.time()
+    cli(["build-tokenizer", "--from-json", str(wd / "corpus.json"),
+         "--out", str(wd / "btok.json"), "--style", "bert"])
+    walls["tokenizer"] = time.time() - t0
+
+    # random-init shared-encoder retriever checkpoint (no trained weights in
+    # this environment; identity of question/passage text is the oracle)
+    rcfg_dict = {
+        "bert": {"vocab_size": 32000, "hidden_size": 128,
+                 "num_hidden_layers": 2, "num_attention_heads": 4,
+                 "intermediate_size": 256, "max_position_embeddings": 160},
+        "indexing_dimension": 256, "question_maxlength": 64,
+        "passage_maxlength": 64,
+    }
+    rcfg = RetrieverConfig.from_dict(rcfg_dict)
+    model = Retriever(rcfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), bool),
+        jnp.zeros((1, 1, 8), jnp.int32), jnp.ones((1, 1, 8), bool),
+    )["params"]
+    ckpt = save_checkpoint(str(wd), "init", params)
+    (wd / "retriever.json").write_text(json.dumps({"retriever": rcfg_dict}))
+
+    # ---- the four CLI stages, timed ------------------------------------
+    t0 = time.time()
+    cli(["embed-facts", "--config", str(wd / "retriever.json"),
+         "--model-path", ckpt, "--corpus", str(wd / "corpus.json"),
+         "--out", str(wd / "index"), "--tokenizer", str(wd / "btok.json"),
+         "--batch-size", "1024"])
+    walls["embed_facts_300600"] = time.time() - t0
+
+    t0 = time.time()
+    cli(["retrieve", "--config", str(wd / "retriever.json"),
+         "--model-path", ckpt, "--index", str(wd / "index"),
+         "--corpus", str(wd / "corpus.json"),
+         "--data", str(wd / "queries.json"),
+         "--out", str(wd / "retrieved.json"),
+         "--tokenizer", str(wd / "btok.json"), "--n-docs", "500"])
+    walls["retrieve_top500"] = time.time() - t0
+
+    t0 = time.time()
+    cli(["retrieve", "--config", str(wd / "retriever.json"),
+         "--model-path", ckpt, "--index", str(wd / "index"),
+         "--corpus", str(wd / "corpus.json"),
+         "--data", str(wd / "retrieved.json"),
+         "--out", str(wd / "reranked.json"),
+         "--tokenizer", str(wd / "btok.json"), "--small-range"])
+    walls["rerank_small_range"] = time.time() - t0
+
+    from lako_tpu.retrieval.eval import hit_at_k
+
+    t0 = time.time()
+    data = json.loads((wd / "reranked.json").read_text())
+    inc, stem = hit_at_k(data)
+    walls["eval_ladder"] = time.time() - t0
+
+    out = {
+        "n_facts": N_FACTS,
+        "n_queries": N_QUERIES,
+        "stage_walls_s": {k: round(v, 2) for k, v in walls.items()},
+        "retrieve_qps": round(N_QUERIES / walls["retrieve_top500"], 1),
+        "hit_at_k_include": {k: round(v, 4) for k, v in inc.items()},
+        "hit_at_k_stem": {k: round(v, 4) for k, v in stem.items()},
+    }
+    print(json.dumps(out))
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(out, indent=1))
+    # identity-query oracle: the gold fact must be found — this fails loudly
+    # if any stage breaks id mapping
+    assert out["hit_at_k_include"][500] > 0.95, out["hit_at_k_include"]
+
+
+if __name__ == "__main__":
+    main()

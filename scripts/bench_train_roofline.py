@@ -1,0 +1,174 @@
+"""Train-step roofline decomposition (VERDICT r2 #5).
+
+Breaks the t5-large B=32 N=2 L=128 T=20 bf16 train step into measured
+segments — encoder forward, full forward(+loss), forward+backward,
+full step (+AdamW) — under remat on/off, and sweeps the batch size, so the
+MFU number in bench.py is either raised or pinned to an explained floor.
+
+Executed-FLOPs accounting (why model-FLOPs MFU cannot reach 100% here):
+model FLOPs = 6·P·tok ≈ 18.8 TFLOP at B=32 (with cross-K/V at encoder
+tokens). On top of that the hardware actually executes: +~0.4 TFLOP of
+attention score/context matmuls (not in 6·P), +5.8 TFLOP of encoder
+recompute when remat is on, plus bandwidth-bound segments that occupy wall
+time but almost no MXU: f32 attention-logit materialization (~67 MB/layer),
+layer norms/residuals, and the AdamW update (~5 GB of param/moment traffic
+≈ 6 ms at 819 GB/s). See the printed table.
+
+Run (TPU): python scripts/bench_train_roofline.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _time_fn(fn, fence, n=10, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    fence(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lako_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench import V5E_PEAK_BF16_FLOPS, _train_flops_per_step
+    from lako_tpu.core.config import OptimConfig, t5_config_for_size
+    from lako_tpu.models.t5 import FiDT5
+    from lako_tpu.train.optim import make_optimizer
+    from lako_tpu.train.state import TrainState
+
+    cfg = t5_config_for_size("large", dropout_rate=0.0)
+    N, L, T = 2, 128, 20
+    out = {}
+
+    def build(B, use_remat):
+        model = FiDT5(cfg, dtype=jnp.bfloat16, use_remat=use_remat)
+        rng = jax.random.PRNGKey(0)
+        ids = jax.random.randint(rng, (B, N, L), 0, cfg.vocab_size,
+                                 dtype=jnp.int32)
+        mask = jnp.ones((B, N, L), dtype=bool)
+        labels = jax.random.randint(rng, (B, T), 0, cfg.vocab_size,
+                                    dtype=jnp.int32)
+        params = jax.jit(lambda r: model.init(r, ids, mask, labels)["params"]
+                         )(rng)
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16),
+                                        params)
+        return model, params, ids, mask, labels
+
+    # ---- segment decomposition at the bench config (B=32, remat on) ------
+    B = 32
+    model, params, ids, mask, labels = build(B, True)
+    flops = _train_flops_per_step(params, B, N, L, T)
+
+    enc = jax.jit(lambda p, i, m: model.apply(
+        {"params": p}, i, m, method=type(model).encode_passages))
+    fwd = jax.jit(lambda p, i, m, l: model.apply({"params": p}, i, m, l)[0])
+    fwdbwd = jax.jit(lambda p, i, m, l: jax.value_and_grad(
+        lambda q: model.apply({"params": q}, i, m, l)[0])(p)[0])
+
+    fence_arr = lambda o: float(jnp.sum(o[0] if isinstance(o, tuple) else o))
+    t_enc = _time_fn(lambda: enc(params, ids, mask), fence_arr)
+    t_fwd = _time_fn(lambda: fwd(params, ids, mask, labels),
+                     lambda o: float(o))
+    t_fb = _time_fn(lambda: fwdbwd(params, ids, mask, labels),
+                    lambda o: float(o))
+
+    # full step timed with a DONATED state (the production configuration) in
+    # its own scope so old/new state buffers never coexist on the 16 GB chip
+    tx = make_optimizer(OptimConfig(optim="adamw", lr=4e-5, weight_decay=0.1,
+                                    scheduler="linear", warmup_steps=100,
+                                    total_steps=10_000))
+    state = TrainState.create(params, tx)
+
+    @(lambda f: jax.jit(f, donate_argnums=(0,)))
+    def step(state, i, m, l):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.apply({"params": p}, i, m, l)[0])(state.params)
+        return state.apply_gradients(grads), loss
+
+    for _ in range(2):
+        state, loss = step(state, ids, mask, labels)
+    _ = float(loss)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss = step(state, ids, mask, labels)
+    _ = float(loss)
+    t_step = (time.perf_counter() - t0) / n
+    del state
+    out["segments_b32_remat_ms"] = {
+        "encoder_fwd": round(1e3 * t_enc, 1),
+        "full_fwd": round(1e3 * t_fwd, 1),
+        "fwd_bwd": round(1e3 * t_fb, 1),
+        "full_step": round(1e3 * t_step, 1),
+        "optimizer_only_delta": round(1e3 * (t_step - t_fb), 1),
+        "bwd_only_delta": round(1e3 * (t_fb - t_fwd), 1),
+    }
+    out["mfu_b32_remat_pct"] = round(
+        100 * flops / (t_step * V5E_PEAK_BF16_FLOPS), 1)
+    del params, ids, mask, labels
+
+    # ---- remat off + batch sweep (donated step, the bench configuration) --
+    for B_, use_remat in ((32, False), (64, False), (64, True),
+                          (128, True)):
+        try:
+            model_, params_, ids_, mask_, labels_ = build(B_, use_remat)
+            tx_ = make_optimizer(OptimConfig(
+                optim="adamw", lr=4e-5, weight_decay=0.1,
+                scheduler="linear", warmup_steps=100, total_steps=10_000))
+            state_ = TrainState.create(params_, tx_)
+
+            @(lambda f: jax.jit(f, donate_argnums=(0,)))
+            def dstep(state, i, m, l):
+                loss, grads = jax.value_and_grad(
+                    lambda p: model_.apply({"params": p}, i, m, l)[0]
+                )(state.params)
+                return state.apply_gradients(grads), loss
+
+            for _ in range(3):
+                state_, loss = dstep(state_, ids_, mask_, labels_)
+            _ = float(loss)
+            n = 10
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state_, loss = dstep(state_, ids_, mask_, labels_)
+            _ = float(loss)
+            dt = (time.perf_counter() - t0) / n
+            fl = _train_flops_per_step(params_, B_, N, L, T)
+            out[f"b{B_}_remat{int(use_remat)}"] = {
+                "ms": round(1e3 * dt, 1),
+                "ex_per_sec": round(B_ / dt, 1),
+                "mfu_pct": round(100 * fl / (dt * V5E_PEAK_BF16_FLOPS), 1),
+            }
+            del state_, model_, params_, ids_, mask_, labels_
+            import gc
+
+            gc.collect()
+        except Exception as e:  # noqa: BLE001 — OOM rows reported, not fatal
+            out[f"b{B_}_remat{int(use_remat)}"] = {"error": str(e)[:200]}
+            import gc
+
+            gc.collect()
+        print(json.dumps({k: out[k] for k in list(out)[-1:]}), flush=True)
+
+    print(json.dumps(out))
+    Path("artifacts").mkdir(exist_ok=True)
+    Path("artifacts/train_roofline.json").write_text(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
