@@ -77,15 +77,26 @@ def main():
     enc = jax.jit(lambda p, i, m: model.apply(
         {"params": p}, i, m, method=type(model).encode_passages))
     fwd = jax.jit(lambda p, i, m, l: model.apply({"params": p}, i, m, l)[0])
-    fwdbwd = jax.jit(lambda p, i, m, l: jax.value_and_grad(
-        lambda q: model.apply({"params": q}, i, m, l)[0])(p)[0])
+
+    # the grads must feed a live output or XLA dead-code-eliminates the
+    # entire backward (first version measured fwd_bwd == fwd for exactly
+    # this reason); one fused scalar reduction keeps them alive without
+    # materializing a second param-sized output
+    def _fwdbwd(p, i, m, l):
+        loss, grads = jax.value_and_grad(
+            lambda q: model.apply({"params": q}, i, m, l)[0])(p)
+        gsum = sum(jnp.sum(g.astype(jnp.float32))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss, gsum
+
+    fwdbwd = jax.jit(_fwdbwd)
 
     fence_arr = lambda o: float(jnp.sum(o[0] if isinstance(o, tuple) else o))
     t_enc = _time_fn(lambda: enc(params, ids, mask), fence_arr)
     t_fwd = _time_fn(lambda: fwd(params, ids, mask, labels),
                      lambda o: float(o))
     t_fb = _time_fn(lambda: fwdbwd(params, ids, mask, labels),
-                    lambda o: float(o))
+                    lambda o: float(o[0]) + float(o[1]) * 0.0)
 
     # full step timed with a DONATED state (the production configuration) in
     # its own scope so old/new state buffers never coexist on the 16 GB chip
