@@ -113,12 +113,14 @@ def _train_throughput(model, cfg, B, N, L, T, donate):
 
     # warmup / compile. On the tunneled backend block_until_ready alone
     # under-reports; a host transfer of a value depending on the chained
-    # computation is the only reliable fence.
-    for _ in range(3):
+    # computation is the only reliable fence. 6 warmup steps: the first
+    # donated-state steps after an allocator reshuffle run a few % slower
+    # (measured 59.6 vs 62.6% MFU between bench-order and standalone runs).
+    for _ in range(6):
         state, loss = train_step(state, ids, mask, labels)
     assert not float(loss) != float(loss), "training step produced NaN loss"
 
-    n_steps = 20
+    n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, loss = train_step(state, ids, mask, labels)

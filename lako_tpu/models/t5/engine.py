@@ -43,6 +43,14 @@ Unsupported (falls back to the flax path): FiDO cross_attention_stride
 ancestry-gather engine (models/t5/beam_engine.py) — no mode is left on the
 round-1 flax slow path except FiDO-stride models.
 
+**Tensor-parallel decode** (t5-3b+ serving, where cross-KV outgrows one
+chip): the engine is a pure jit program, so committing the canonical param
+tree with the Megatron specs (parallel/sharding.make_param_shardings) and
+the batch to the data axis lets GSPMD partition the whole decode — the
+stacking, the per-step layer scan, and the KV caches shard along the heads
+automatically. Token-for-token equality with the single-device engines is
+pinned by tests/test_engine_tp.py (both greedy and beam).
+
 MEASURED (v5e-1, t5-large, B=128, N=2, L=130, max_length=50 — the reference
 eval config, test_reader.py:65-69; scripts/bench_decode.py, r2). The round-1
 flax layer-unrolled path ran 147-156 ans/s; per-step HBM floor at bf16 is
