@@ -202,22 +202,21 @@ def train_reader(
                 best_dev_em = float(meta.get("best_eval_metric", 0.0))
                 state = state.replace(
                     opt_state=jax.device_put(opt_state, replicated(mesh)),
-                    step=jnp.asarray(step, jnp.int32))
+                    step=jax.device_put(jnp.asarray(step, jnp.int32),
+                                        replicated(mesh)))
             elif not reset_params:
                 logger.warning("requested optimizer resume but checkpoint "
                                "has no optimizer state; starting fresh")
     if use_pp:
         # pipeline-parallel layout: block stacks + optimizer state live 1/S
-        # per pipe device (parallel/pp_train.py); checkpoints stay in the
-        # canonical tree (params only — PP opt-state resume is out of scope)
+        # per pipe device (parallel/pp_train.py); checkpoints keep params in
+        # the canonical tree (portable) and the optimizer state in the PP
+        # layout (flax serialization handles the PPParams-shaped pytrees)
         from lako_tpu.parallel.pp_train import (fid_params_from_pp,
                                                 make_pp_train_step,
                                                 place_pp_params,
                                                 pp_params_from_fid)
 
-        if resume_from is not None and not reset_params:
-            logger.warning("mesh.pipe>1: optimizer state is not restored "
-                           "under pipeline parallelism (params only)")
         if t5_cfg.dropout_rate > 0.0:
             logger.warning("mesh.pipe>1: the PP train step runs without "
                            "dropout (set dropout_rate=0 to silence)")
@@ -225,6 +224,34 @@ def train_reader(
             mesh, pp_params_from_fid(init_params, t5_cfg, cfg.mesh.pipe),
             pipe_axis=cfg.mesh.pipe_axis)
         state = TrainState.create(pp, tx)
+        if resume_from is not None and not reset_params:
+            _, pp_opt, meta = load_checkpoint(resume_from, init_params,
+                                              state.opt_state)
+            if pp_opt is not None:
+                # param-derived leaves keep their 1/S pipe placement; fresh
+                # scalars in the template (schedule counts etc.) are
+                # uncommitted single-device arrays — replicate those on the
+                # mesh so the restored state is consistently committed
+                from jax.sharding import SingleDeviceSharding
+
+                def _placement(t):
+                    if isinstance(t.sharding, SingleDeviceSharding):
+                        return replicated(mesh)
+                    return t.sharding
+
+                pp_opt = jax.tree_util.tree_map(
+                    lambda t, v: jax.device_put(v, _placement(t)),
+                    state.opt_state, pp_opt)
+                step = int(meta.get("step", 0))
+                best_dev_em = float(meta.get("best_eval_metric", 0.0))
+                state = state.replace(
+                    opt_state=pp_opt,
+                    step=jax.device_put(jnp.asarray(step, jnp.int32),
+                                        replicated(mesh)))
+            else:
+                logger.warning("PP resume: checkpoint has no (matching) "
+                               "optimizer state; starting the optimizer "
+                               "fresh")
         pp_step = make_pp_train_step(
             mesh, t5_cfg, cfg.pp_microbatches, dtype=dtype,
             remat=cfg.use_remat, pipe_axis=cfg.mesh.pipe_axis,
@@ -232,7 +259,8 @@ def train_reader(
         train_step = lambda s, ids, mask, labels, rng: pp_step(
             s, ids, mask, labels)
         to_eval_params = lambda s: fid_params_from_pp(s.params, t5_cfg)
-        to_ckpt = lambda s: (fid_params_from_pp(s.params, t5_cfg), None)
+        to_ckpt = lambda s: (fid_params_from_pp(s.params, t5_cfg),
+                             s.opt_state)
     else:
         if resume_from is None:
             init_params = jax.device_put(init_params, replicated(mesh))

@@ -154,3 +154,39 @@ def test_pp_train_step_trains_and_composes_with_dp():
     mu = jax.tree_util.tree_leaves(state.opt_state[0].mu.enc)[0]
     assert len(mu.addressable_shards) == 4
     assert all(s.data.size == mu.size // 2 for s in mu.addressable_shards)
+
+
+def test_pp_checkpoint_resume_restores_optimizer(tmp_path):
+    """PP training saves canonical params + PP-layout optimizer state;
+    resume with reset_params=False restores step and moments."""
+    from lako_tpu.core.config import ReaderTrainConfig
+    from lako_tpu.text.tokenizer import WordVocabTokenizer
+    from lako_tpu.train.reader import train_reader
+
+    exs = [{"question": f"is item {i} on", "target": "yes" if i % 2 else "no",
+            "answer": {"yes" if i % 2 else "no": 1.0}, "caption": "a board.",
+            "fact": [{"sentence": "items toggle.", "id": 0}]}
+           for i in range(16)]
+    tok = WordVocabTokenizer.build(
+        [e["question"] for e in exs]
+        + ["yes no a board. items toggle. question: context: fact:"])
+    mk = lambda epochs: ReaderTrainConfig.from_dict({
+        "model_size": "tiny", "per_device_batch_size": 2, "eval_batch_size": 8,
+        "epochs": epochs, "early_stop": 9, "eval_max_length": 4,
+        "use_remat": False, "dtype": "float32", "pp_microbatches": 2,
+        "mesh": {"pipe": 2, "data": 4},
+        "data": {"n_context": 1, "text_maxlength": 16, "answer_maxlength": 4,
+                 "stream": 2},
+        "optim": {"optim": "adamw", "lr": 3e-3},
+        "checkpoint_dir": str(tmp_path), "name": "ppr"})
+    r1 = train_reader(mk(1), exs, exs[:8], tok, save_checkpoints=True)
+    assert r1.final_step > 0
+    r2 = train_reader(mk(2), exs, exs[:8], tok, save_checkpoints=False,
+                      resume_from=str(tmp_path / "ppr"),
+                      reset_params=False)
+    # step carried over, optimizer moments restored (nonzero first moment)
+    assert r2.final_step > r1.final_step
+    assert int(r2.state.step) >= r1.final_step
+    adam = next(s for s in r2.state.opt_state if hasattr(s, "mu"))
+    mu = jax.tree_util.tree_leaves(adam.mu.enc)[0]
+    assert float(jnp.abs(mu).sum()) > 0.0
