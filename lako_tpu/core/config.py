@@ -203,6 +203,10 @@ class RetrieverConfig(_ConfigBase):
     apply_question_mask: bool = True
     apply_passage_mask: bool = True
     extract_cls: bool = False
+    # PERF: 130 matches the reference (train_retriever.py) but is
+    # lane-misaligned on TPU — the BERT attention chain pads 130 -> 256.
+    # Measured on v5e (scripts/bench_retriever_train.py): maxlength 128 is
+    # 36% faster at B=8 and 58% faster at B=32 for 2 fewer fact-tail tokens.
     passage_maxlength: int = 130
     question_maxlength: int = 130
     projection: bool = True
