@@ -29,13 +29,35 @@ def load_obj_tsv(
     topk: Optional[int] = None,
     img_list: Optional[set] = None,
     cache_path: Optional[str] = None,
+    backend: str = "auto",
 ) -> List[dict]:
     """Load detection features from a TSV. Each row decodes base64 payloads into
     immutable numpy arrays: objects_id/conf (n,), attrs_id/conf (n,),
-    boxes (n, 4) xyxy pixels, features (n, d)."""
+    boxes (n, 4) xyxy pixels, features (n, d).
+
+    backend: "auto" uses the threaded C++ decoder (native/obj36.cpp,
+    output-equality pinned by tests/test_vision_native.py) when it builds,
+    else this Python loop; "python"/"native" force one path.
+    """
     if cache_path and Path(cache_path).exists():
         with open(cache_path, "rb") as fp:
             return pickle.load(fp)
+
+    if backend not in ("auto", "python", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "python":
+        from lako_tpu.data import vision_native
+
+        if vision_native.native_available():
+            data = vision_native.load_obj_tsv_native(fname, topk=topk,
+                                                     img_list=img_list)
+            if cache_path:
+                with open(cache_path, "wb") as fp:
+                    pickle.dump(data, fp)
+            return data
+        if backend == "native":
+            raise RuntimeError("native obj36 decoder unavailable "
+                               "(make -C native failed?)")
 
     csv.field_size_limit(sys.maxsize)
     data: List[dict] = []
