@@ -93,7 +93,8 @@ class BeamEngine:
 
     def __init__(self, model, max_length: int = 50, num_beams: int = 4,
                  length_penalty: float = 1.0,
-                 layer_unroll: Optional[int] = None):
+                 layer_unroll: Optional[int] = None,
+                 self_attn_impl: str = "allslots"):
         cfg = model.config
         if not engine_supported(cfg):
             raise ValueError(
@@ -101,6 +102,9 @@ class BeamEngine:
                 "(cross_attention_stride unset); use models.t5.beam instead")
         if num_beams < 1:
             raise ValueError("num_beams must be >= 1")
+        if self_attn_impl not in ("allslots", "gather"):
+            raise ValueError(
+                f"self_attn_impl must be allslots|gather, got {self_attn_impl!r}")
         self.model = model
         self.cfg = cfg
         self.max_length = max_length
@@ -109,6 +113,7 @@ class BeamEngine:
         self.length_penalty = float(length_penalty)
         self.layer_unroll = (cfg.num_decoder_layers if layer_unroll is None
                              else layer_unroll)
+        self.self_attn_impl = self_attn_impl
         self.dtype = model.dtype
         self._generate = jax.jit(self._generate_impl)
 
@@ -152,25 +157,47 @@ class BeamEngine:
         qkv = _mm(xn, wqkv_s, dtype).reshape(B, K, 3, h, d)
         q, k_new, v_new = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         # sk/sv: (B, h, d, Kc, S) — dot_general batch dims (b, h) leading,
-        # d contracting right after, (c, s) free. Measured equal to the
-        # (B,Kc,h,d,S) variant on the v5e (1.77 s/batch both — XLA handles
-        # either), kept as the canonical batch-dims-first layout. The
-        # remaining per-layer gap over the byte floor (r3 decomposition:
-        # 1.24 ms/layer/step vs ~0.6 ms floor; selection fixed cost is only
-        # 6.3 ms/step) is small-GEMM/VPU overhead at M=B·K, not layout.
-        logits_all = jnp.einsum("bqhd,bhdcs->bqchs", q, sk
-                                ).astype(jnp.float32)
-        logits = jnp.sum(logits_all * onehot[:, :, :, None, :], axis=2)
-        logit_now = jnp.sum(q * k_new, axis=-1).astype(jnp.float32)  # (B,K,h)
+        # d contracting right after, (c, s) free.
+        #
+        # Two formulations, selected by ``self_attn_impl`` (numerically
+        # identical — the one-hot rows are exact {0,1}, so gathering cache
+        # rows before the dot equals dotting against all slots and selecting;
+        # pinned by tests/test_beam_engine.py::test_gather_impl_matches):
+        #
+        # - "allslots": logits vs ALL Kc slots (bqhd,bhdcs->bqchs), ancestor
+        #   path selected by the one-hot afterwards. Reads the cache once but
+        #   materializes (B,K,Kc,h,S) f32 logits + does Kc x the dot FLOPs in
+        #   M=4 micro-matmuls — measured 0.357 ms vs a 0.125 ms byte floor in
+        #   isolation (scripts/bench_beam_parts.py, r3).
+        # - "gather": one-hot-gather K/V rows to (B,K,h,d,S) first (itself an
+        #   einsum contraction over Kc), then plain (bqhd,bqhds->bqhs)
+        #   attention. 1/Kc the logit FLOPs, no (B,K,Kc,..) f32 tensor;
+        #   measured 0.101 ms in isolation but pays ~2x cache bytes when the
+        #   gathered copies stream through HBM — the in-engine A/B on the
+        #   real chip decides the default.
         S = sk.shape[-1]
         pos = jnp.arange(S)
+        if self.self_attn_impl == "gather":
+            onehot_d = onehot.astype(dtype)
+            ksel = jnp.einsum("bqcs,bhdcs->bqhds", onehot_d, sk)
+            vsel = jnp.einsum("bqcs,bhdcs->bqhds", onehot_d, sv)
+            logits = jnp.einsum("bqhd,bqhds->bqhs", q, ksel
+                                ).astype(jnp.float32)
+        else:
+            logits_all = jnp.einsum("bqhd,bhdcs->bqchs", q, sk
+                                    ).astype(jnp.float32)
+            logits = jnp.sum(logits_all * onehot[:, :, :, None, :], axis=2)
+        logit_now = jnp.sum(q * k_new, axis=-1).astype(jnp.float32)  # (B,K,h)
         logits = jnp.where(pos[None, None, None, :] == step,
                            logit_now[..., None], logits)
         bias = jnp.where(pos[None, :] <= step, self_pos_bias, NEG_INF)  # (h,S)
         logits = logits + bias[None, None]
         probs = jax.nn.softmax(logits, axis=-1).astype(dtype)  # (B,K,h,S)
-        pw = probs[:, :, None] * onehot[:, :, :, None, :].astype(dtype)
-        out = jnp.einsum("bqchs,bhdcs->bqhd", pw, sv)
+        if self.self_attn_impl == "gather":
+            out = jnp.einsum("bqhs,bqhds->bqhd", probs, vsel)
+        else:
+            pw = probs[:, :, None] * onehot[:, :, :, None, :].astype(dtype)
+            out = jnp.einsum("bqchs,bhdcs->bqhd", pw, sv)
         p_now = jnp.take_along_axis(
             probs, jnp.full((B, K, h, 1), step, dtype=jnp.int32), axis=-1)
         out = out + p_now * v_new

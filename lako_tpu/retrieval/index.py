@@ -25,18 +25,35 @@ import numpy as np
 
 
 class DenseIndex:
-    """Exact inner-product top-k over an embedding matrix kept on device."""
+    """Inner-product top-k over an embedding matrix kept on device.
+
+    ``method="exact"`` (default) is bit-faithful to the reference's FAISS
+    ``IndexFlatIP`` semantics (src/index.py:22-25). ``method="approx"`` swaps
+    the exact ``lax.top_k`` for the TPU-native ``lax.approx_max_k``
+    (partial-reduce TopK on the VPU; arXiv 2206.14286) at a configurable
+    ``recall_target`` — an opt-in speed/recall trade the reference's PQ index
+    also makes (IndexPQ is lossy). Scores are exact either way; only the
+    top-k selection is approximate. Measured on the v5e in
+    scripts/bench_retrieval.py (--approx): recall + qps side by side.
+    """
 
     def __init__(self, embeddings: np.ndarray, ids: Optional[np.ndarray] = None,
-                 dtype=jnp.float32, chunk_size: int = 131072):
+                 dtype=jnp.float32, chunk_size: int = 131072,
+                 method: str = "exact", recall_target: float = 0.95):
         n, d = embeddings.shape
+        if method not in ("exact", "approx"):
+            raise ValueError(f"method must be exact|approx, got {method!r}")
         self.n, self.dim = n, d
         self.ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids)
         assert len(self.ids) == n
         self.chunk_size = min(chunk_size, n)
+        self.method = method
+        self.recall_target = float(recall_target)
         self._emb = jax.device_put(jnp.asarray(embeddings, dtype=dtype))
-        self._search = jax.jit(functools.partial(_chunked_topk, self.chunk_size),
-                               static_argnums=(2,))
+        topk = functools.partial(_chunked_topk, self.chunk_size) \
+            if method == "exact" else functools.partial(
+                _chunked_approx_topk, self.chunk_size, self.recall_target)
+        self._search = jax.jit(topk, static_argnums=(2,))
         # id → embedding-row lookup, built lazily on first rerank (identity
         # when ids are positional, the common case)
         self._id_to_row: Optional[dict] = None
@@ -147,6 +164,53 @@ def _chunked_topk(chunk_size: int, emb: jax.Array, queries: jax.Array, k: int):
     (scores, idx), _ = jax.lax.scan(
         scan_body, init, (emb_chunks, jnp.arange(n_chunks))
     )
+    return scores, idx
+
+
+def _chunked_approx_topk(chunk_size: int, recall_target: float,
+                         emb: jax.Array, queries: jax.Array, k: int):
+    """Streaming top-k with ``lax.approx_max_k`` per chunk.
+
+    Per-chunk candidates come from the TPU-native partial-reduce TopK
+    (sorted, via aggregate_to_topk); the running merge across chunks is an
+    exact top_k over 2k candidates, so recall loss comes only from the
+    per-chunk approximation."""
+    Q = queries.shape[0]
+    n = emb.shape[0]
+    n_chunks = (n + chunk_size - 1) // chunk_size
+
+    def chunk_topk(scores, kk):
+        return jax.lax.approx_max_k(scores, kk, recall_target=recall_target)
+
+    if n_chunks <= 1:
+        scores = jnp.einsum("qd,nd->qn", queries, emb).astype(jnp.float32)
+        return chunk_topk(scores, min(k, n))
+
+    pad = n_chunks * chunk_size - n
+    emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
+    emb_chunks = emb_p.reshape(n_chunks, chunk_size, -1)
+
+    def scan_body(carry, xs):
+        best_scores, best_idx = carry
+        chunk, chunk_i = xs
+        scores = jnp.einsum("qd,cd->qc", queries, chunk).astype(jnp.float32)
+        base = chunk_i * chunk_size
+        idx = base + jnp.arange(chunk_size)[None, :]
+        valid = idx < n
+        scores = jnp.where(valid, scores, -jnp.inf)
+        top_s, pos = chunk_topk(scores, k)
+        top_i = jnp.take_along_axis(jnp.broadcast_to(idx, (Q, chunk_size)),
+                                    pos, axis=1)
+        cat_scores = jnp.concatenate([best_scores, top_s], axis=1)
+        cat_idx = jnp.concatenate([best_idx, top_i], axis=1)
+        m_s, m_pos = jax.lax.top_k(cat_scores, k)
+        m_i = jnp.take_along_axis(cat_idx, m_pos, axis=1)
+        return (m_s, m_i), None
+
+    init = (jnp.full((Q, k), -jnp.inf, jnp.float32),
+            jnp.zeros((Q, k), jnp.int32))
+    (scores, idx), _ = jax.lax.scan(
+        scan_body, init, (emb_chunks, jnp.arange(n_chunks)))
     return scores, idx
 
 

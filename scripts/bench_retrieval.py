@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--queries", type=int, default=9_009 + 5_046)
     ap.add_argument("--k", type=int, default=500)
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--approx", action="store_true",
+                    help="also run the approx_max_k index and report its "
+                         "measured recall vs the exact ids + its qps")
+    ap.add_argument("--recall-target", type=float, default=0.95)
     args = ap.parse_args()
 
     import jax
@@ -68,7 +72,7 @@ def main():
             "bytes_in_use": stats.get("bytes_in_use"),
             "bytes_limit": stats.get("bytes_limit"),
         }
-    print(json.dumps({
+    out = {
         "metric": "dense_retrieval_queries_per_sec",
         "corpus": args.corpus, "dim": args.dim, "k": args.k,
         "queries": args.queries,
@@ -76,7 +80,33 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/sec",
         "memory": headroom,
-    }), flush=True)
+    }
+
+    if args.approx:
+        aidx = DenseIndex(emb, method="approx",
+                          recall_target=args.recall_target)
+        a_w, _ = aidx.search(q[:args.batch], k=args.k)
+        _ = int(a_w.sum())
+        t0 = time.perf_counter()
+        a_ids, _ = aidx.search(q, k=args.k, batch_size=args.batch)
+        _ = int(a_ids[-1].sum())
+        a_dt = time.perf_counter() - t0
+        # measured recall vs the exact run, over every query
+        hits = sum(len(set(map(int, a)) & set(map(int, e)))
+                   for a, e in zip(a_ids, ids))
+        recall = hits / (args.queries * args.k)
+        out["approx"] = {
+            "qps": round(args.queries / a_dt, 1),
+            "seconds": round(a_dt, 3),
+            "recall_target": args.recall_target,
+            "measured_recall_vs_exact": round(recall, 4),
+            "speedup_vs_exact": round(dt / a_dt, 2),
+        }
+
+    print(json.dumps(out), flush=True)
+    art = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
+    art.mkdir(exist_ok=True)
+    (art / "retrieval_qps.json").write_text(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

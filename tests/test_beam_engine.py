@@ -102,3 +102,26 @@ def test_best_generate_fn_routes_beam_to_engine():
                                backend="flax")
     t2, _ = fb(params, ids, mask)
     np.testing.assert_array_equal(np.asarray(t2), np.asarray(ref))
+
+
+def test_gather_impl_matches_allslots():
+    model, params, ids, mask = _make(seed=6)
+    a = BeamEngine(model, max_length=9, num_beams=3,
+                   self_attn_impl="allslots").generate(params, ids, mask)
+    g = BeamEngine(model, max_length=9, num_beams=3,
+                   self_attn_impl="gather").generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+
+def test_gather_impl_matches_flax_beam():
+    model, params, ids, mask = _make(seed=7)
+    ref = beam_generate(model, params, ids, mask, max_length=8, num_beams=2)
+    out = BeamEngine(model, max_length=8, num_beams=2,
+                     self_attn_impl="gather").generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_bad_self_attn_impl_rejected():
+    model, params, ids, mask = _make(seed=8)
+    with pytest.raises(ValueError):
+        BeamEngine(model, num_beams=2, self_attn_impl="scatter")

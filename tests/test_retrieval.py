@@ -135,6 +135,34 @@ class TestDenseIndex:
         np.testing.assert_array_equal(ids_s, ids_b)
         np.testing.assert_allclose(sc_s, sc_b, rtol=1e-5)
 
+    def test_approx_topk_recall(self):
+        # approx_max_k selection: high-recall, sorted, valid ids — and the
+        # chunked merge path agrees with the single-shot path on what it keeps
+        rng = np.random.default_rng(7)
+        emb = rng.normal(size=(4096, 16)).astype(np.float32)
+        q = rng.normal(size=(9, 16)).astype(np.float32)
+        exact = DenseIndex(emb)
+        approx = DenseIndex(emb, method="approx", recall_target=0.95)
+        ids_e, _ = exact.search(q, k=32)
+        ids_a, sc_a = approx.search(q, k=32)
+        assert ids_a.shape == (9, 32)
+        # scores sorted descending (aggregate_to_topk)
+        assert np.all(np.diff(sc_a, axis=1) <= 1e-6)
+        recall = np.mean([len(set(map(int, a)) & set(map(int, e))) / 32
+                          for a, e in zip(ids_a, ids_e)])
+        assert recall >= 0.9, recall
+        # chunked approx merge: every kept id must be a real row with the
+        # true score it claims
+        chunked = DenseIndex(emb, method="approx", chunk_size=1024)
+        ids_c, sc_c = chunked.search(q, k=32)
+        ref = q @ emb.T
+        for i in range(9):
+            np.testing.assert_allclose(sc_c[i], ref[i][ids_c[i]], rtol=1e-5)
+
+    def test_approx_rejects_bad_method(self):
+        with pytest.raises(ValueError):
+            DenseIndex(np.zeros((4, 2), np.float32), method="fuzzy")
+
     def test_rerank(self):
         rng = np.random.default_rng(3)
         emb = rng.normal(size=(50, 8)).astype(np.float32)
