@@ -102,9 +102,10 @@ class BeamEngine:
                 "(cross_attention_stride unset); use models.t5.beam instead")
         if num_beams < 1:
             raise ValueError("num_beams must be >= 1")
-        if self_attn_impl not in ("allslots", "gather"):
+        if self_attn_impl not in ("allslots", "gather", "flat"):
             raise ValueError(
-                f"self_attn_impl must be allslots|gather, got {self_attn_impl!r}")
+                f"self_attn_impl must be allslots|gather|flat, "
+                f"got {self_attn_impl!r}")
         self.model = model
         self.cfg = cfg
         self.max_length = max_length
@@ -173,8 +174,22 @@ class BeamEngine:
         #   einsum contraction over Kc), then plain (bqhd,bqhds->bqhs)
         #   attention. 1/Kc the logit FLOPs, no (B,K,Kc,..) f32 tensor;
         #   measured 0.101 ms in isolation but pays ~2x cache bytes when the
-        #   gathered copies stream through HBM — the in-engine A/B on the
-        #   real chip decides the default.
+        #   gathered copies stream through HBM. NOTE: on TPU bf16 the gather
+        #   changes where the f32->bf16 rounding happens, so token outputs can
+        #   flip at near-ties vs allslots (exact-equal in f32; the CPU parity
+        #   tests pass) — measured mismatch rate in scripts/bench_beam_ab.py.
+        # - "flat": same select-after-dot order as allslots but the cache
+        #   viewed as one (B,h,d,Kc*S) free axis — one larger matmul per
+        #   (b,h) instead of Kc-structured micro matmuls; measured 0.177 ms
+        #   in isolation (XLA's different K-split still moves the bf16
+        #   rounding points, so it is not bitwise-equal on TPU either).
+        #
+        # Engine A/B at the reference eval config (t5-large B=128 beams=4,
+        # artifacts/beam_ab.json, r3): allslots 72.1 ans/s, gather 73.2
+        # (+1.5%, 29/128 rows flip at bf16 near-ties), flat 66.8. The micro
+        # wins do not survive the full engine step, so the default stays
+        # "allslots" — it is the formulation whose f32 semantics the
+        # HF-parity tests pin exactly; "gather" is an opt-in +1.5%.
         S = sk.shape[-1]
         pos = jnp.arange(S)
         if self.self_attn_impl == "gather":
@@ -183,6 +198,13 @@ class BeamEngine:
             vsel = jnp.einsum("bqcs,bhdcs->bqhds", onehot_d, sv)
             logits = jnp.einsum("bqhd,bqhds->bqhs", q, ksel
                                 ).astype(jnp.float32)
+        elif self.self_attn_impl == "flat":
+            Kc = sk.shape[-2]
+            sk_f = sk.reshape(*sk.shape[:-2], Kc * S)
+            logits_all = jnp.einsum("bqhd,bhdm->bqhm", q, sk_f
+                                    ).astype(jnp.float32)
+            logits = (logits_all.reshape(B, K, h, Kc, S)
+                      * onehot[:, :, None, :, :]).sum(axis=3)
         else:
             logits_all = jnp.einsum("bqhd,bhdcs->bqchs", q, sk
                                     ).astype(jnp.float32)
@@ -195,6 +217,13 @@ class BeamEngine:
         probs = jax.nn.softmax(logits, axis=-1).astype(dtype)  # (B,K,h,S)
         if self.self_attn_impl == "gather":
             out = jnp.einsum("bqhs,bqhds->bqhd", probs, vsel)
+        elif self.self_attn_impl == "flat":
+            Kc = sv.shape[-2]
+            pw = (probs[:, :, :, None, :]
+                  * onehot[:, :, None, :, :].astype(dtype)
+                  ).reshape(B, K, h, Kc * S)
+            out = jnp.einsum("bqhm,bhdm->bqhd", pw,
+                             sv.reshape(*sv.shape[:-2], Kc * S))
         else:
             pw = probs[:, :, None] * onehot[:, :, :, None, :].astype(dtype)
             out = jnp.einsum("bqchs,bhdcs->bqhd", pw, sv)

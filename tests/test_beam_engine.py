@@ -104,12 +104,13 @@ def test_best_generate_fn_routes_beam_to_engine():
     np.testing.assert_array_equal(np.asarray(t2), np.asarray(ref))
 
 
-def test_gather_impl_matches_allslots():
+@pytest.mark.parametrize("impl", ["gather", "flat"])
+def test_alt_impls_match_allslots(impl):
     model, params, ids, mask = _make(seed=6)
     a = BeamEngine(model, max_length=9, num_beams=3,
                    self_attn_impl="allslots").generate(params, ids, mask)
     g = BeamEngine(model, max_length=9, num_beams=3,
-                   self_attn_impl="gather").generate(params, ids, mask)
+                   self_attn_impl=impl).generate(params, ids, mask)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
 
 
