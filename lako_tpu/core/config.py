@@ -335,6 +335,10 @@ class ReaderTrainConfig(_ConfigBase):
     # GPipe bubble fraction is (pipe-1)/(microbatches+pipe-1), so use
     # several x pipe for real runs.
     pp_microbatches: int = 1
+    # "gpipe" (fwd-all-then-bwd-all, O(M) activation memory) or "1f1b"
+    # (interleaved wavefront, O(pipe) activation memory — use when M must
+    # grow to amortize the bubble but activations would not fit).
+    pp_schedule: str = "gpipe"
     data: ReaderDataConfig = field(default_factory=ReaderDataConfig)
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(lr=4e-5))
     mesh: MeshConfig = field(default_factory=MeshConfig)

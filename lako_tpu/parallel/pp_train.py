@@ -187,8 +187,13 @@ def pp_param_shardings(mesh: Mesh, pp: PPParams, pipe_axis: str = "pipe"):
 
 def place_pp_params(mesh: Mesh, pp: PPParams,
                     pipe_axis: str = "pipe") -> PPParams:
+    # device_put to a replicated sharding can zero-copy-alias the source
+    # buffer (one shard shares it); a later donated train step would then
+    # delete the caller's original leaf. Copy first so placement never
+    # aliases the input tree.
     return jax.tree_util.tree_map(
-        jax.device_put, pp, pp_param_shardings(mesh, pp, pipe_axis))
+        lambda a, s: jax.device_put(jnp.array(a, copy=True), s),
+        pp, pp_param_shardings(mesh, pp, pipe_axis))
 
 
 def _dec_stage_apply(cfg: T5Config, dtype, stage: StackedDecoderBlocks,
@@ -294,11 +299,32 @@ def make_pp_loss_fn(mesh: Mesh, cfg: T5Config, n_microbatches: int,
 def make_pp_train_step(mesh: Mesh, cfg: T5Config, n_microbatches: int,
                        dtype=jnp.float32, remat: bool = True,
                        pipe_axis: str = "pipe",
-                       data_axis: Optional[str] = None):
+                       data_axis: Optional[str] = None,
+                       schedule: str = "gpipe"):
     """Jitted ``(state, ids, mask, labels) → (state, loss)`` over PPParams.
     ``state`` is a TrainState whose params/opt-state live in the PP layout
-    (use ``place_pp_params`` + ``TrainState.create``)."""
+    (use ``place_pp_params`` + ``TrainState.create``).
+
+    ``schedule="gpipe"`` autodiffs through the fwd-all-then-bwd-all
+    pipeline (activation memory O(M)); ``"1f1b"`` uses the interleaved
+    wavefront of parallel/pp_1f1b.py (O(S) activations, same grads)."""
     import functools
+
+    if schedule not in ("gpipe", "1f1b"):
+        raise ValueError(f"pp schedule must be gpipe|1f1b, got {schedule!r}")
+    if schedule == "1f1b":
+        from lako_tpu.parallel.pp_1f1b import make_pp_1f1b_loss_and_grads
+
+        lg = make_pp_1f1b_loss_and_grads(mesh, cfg, n_microbatches,
+                                         dtype=dtype, pipe_axis=pipe_axis,
+                                         data_axis=data_axis)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step_1f1b(state, ids, mask, labels):
+            loss, grads = lg(state.params, ids, mask, labels)
+            return state.apply_gradients(grads), loss
+
+        return train_step_1f1b
 
     loss_fn = make_pp_loss_fn(mesh, cfg, n_microbatches, dtype=dtype,
                               remat=remat, pipe_axis=pipe_axis,

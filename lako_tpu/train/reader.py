@@ -255,7 +255,7 @@ def train_reader(
         pp_step = make_pp_train_step(
             mesh, t5_cfg, cfg.pp_microbatches, dtype=dtype,
             remat=cfg.use_remat, pipe_axis=cfg.mesh.pipe_axis,
-            data_axis=cfg.mesh.batch_axis)
+            data_axis=cfg.mesh.batch_axis, schedule=cfg.pp_schedule)
         train_step = lambda s, ids, mask, labels, rng: pp_step(
             s, ids, mask, labels)
         to_eval_params = lambda s: fid_params_from_pp(s.params, t5_cfg)
