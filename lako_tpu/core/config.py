@@ -259,7 +259,9 @@ class OptimConfig(_ConfigBase):
     """Optimizer + schedule (reference: src/util.py:149-245, src/options.py:20-48)."""
 
     optim: str = "adamw"  # "adam" | "adamw" | "adafactor" (O(rows+cols)
-    # second-moment state for t5-3b+ on 16 GB chips; train/optim.py)
+    # second-moment state for t5-3b+ on 16 GB chips; train/optim.py) |
+    # "adamw8bit" (full Adam semantics, int8 blockwise moments +
+    # stochastic rounding, 2 bytes/param of state; train/optim8.py)
     lr: float = 1e-4
     weight_decay: float = 0.1
     clip: float = 1.0

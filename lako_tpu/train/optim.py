@@ -195,12 +195,23 @@ def make_optimizer(cfg: OptimConfig, params_example: Optional[Any] = None) -> op
         # HF AdamW(correct_bias=False) (reference src/util.py:224)
         correct = False if cfg.adam_correct_bias is None else cfg.adam_correct_bias
         chain.append(_scale_by_adam(correct, cfg.adam_b1, cfg.adam_b2, cfg.adam_eps))
+    elif cfg.optim == "adamw8bit":
+        # AdamW with blockwise int8/uint8 moments + stochastic rounding
+        # (train/optim8.py): 2 bytes/param of state instead of 8 — the
+        # optimizer-bandwidth/memory knob for big readers. Same chain
+        # (clip, layerwise decay, HF decoupled decay) as "adamw".
+        from lako_tpu.train.optim8 import scale_by_adam_8bit
+
+        correct = False if cfg.adam_correct_bias is None else cfg.adam_correct_bias
+        chain.append(scale_by_adam_8bit(
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            correct_bias=correct))
     else:
         raise ValueError(cfg.optim)
     if cfg.layerwise_decay is not None:
         chain.append(_layerwise_scale(cfg.layerwise_decay))
     chain.append(optax.scale_by_learning_rate(lr))
-    if cfg.optim == "adamw" and cfg.weight_decay > 0:
+    if cfg.optim in ("adamw", "adamw8bit") and cfg.weight_decay > 0:
         chain.append(_hf_decoupled_decay(cfg.weight_decay, lr, _no_decay_mask,
                                          layerwise_decay=cfg.layerwise_decay))
     tx = optax.chain(*chain)

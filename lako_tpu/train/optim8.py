@@ -1,0 +1,190 @@
+"""8-bit Adam: blockwise-quantized optimizer moments (int8 m / uint8 v).
+
+AdamW's f32 moments are 8 bytes/param — for t5-large that is 5.9 GB of
+state and ~5 GB of the measured 12.3 ms optimizer-bandwidth floor in the
+train step (artifacts/train_roofline.json); for t5-3b they exceed a v5e's
+HBM outright. This transform stores both moments at 1 byte/param with a
+per-block (default 256) f32 absmax scale, dequantizing/requantizing inside
+the fused update — the standard 8-bit-optimizer design (Dettmers et al.,
+"8-bit Optimizers via Block-wise Quantization", arXiv:2110.02861),
+rebuilt TPU-style: pure elementwise jnp on (n_blocks, block) views with no
+lookup tables. The first moment uses a linear signed int8 code; the second
+moment uses a LOG-domain code (2^-31.75 relative range at ~9% resolution —
+the role of the paper's dynamic-tree map, since a linear code collapses any
+v below blockmax/510 to zero and explodes the sqrt(v)+eps denominator).
+Everything fuses into the XLA update.
+
+Why stochastic rounding: an EMA ``v <- b2*v + (1-b2)*g^2`` moves ~0.1% per
+step, far below int8's ~0.8%-of-blockmax resolution; nearest rounding
+freezes the moment at its lattice point (the update rounds back) until the
+gradient regime shifts by >~ the half-step. Stochastic rounding makes each
+requantization unbiased, so the EMA tracks in expectation at any update
+size. The RNG is counter-based (threefry keyed on the step count and a
+per-leaf index) — no key threading through optax.
+
+The reference trains with HF AdamW(correct_bias=False) (src/util.py:224);
+``scale_by_adam_8bit`` mirrors both bias-correction variants of
+train/optim.py:_scale_by_adam and drops into the same chain (clipping,
+layerwise decay, HF decoupled weight decay), selected by
+``OptimConfig(optim="adamw8bit")``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jax.Array
+
+
+class Moment8(NamedTuple):
+    """One quantized moment tensor: ``q`` (n_blocks, block) int8/uint8,
+    ``scale`` (n_blocks, 1) f32, for a parameter of ``n`` elements
+    (zero-padded to a block multiple)."""
+
+    q: Array
+    scale: Array
+
+
+class ScaleByAdam8State(NamedTuple):
+    count: Array
+    mu: Any   # pytree of Moment8 (int8, signed)
+    nu: Any   # pytree of Moment8 (uint8, nonnegative)
+
+
+def _blocked(x: Array, block: int) -> Array:
+    n = x.size
+    nb = -(-n // block)
+    flat = jnp.ravel(x).astype(jnp.float32)
+    return jnp.pad(flat, (0, nb * block - n)).reshape(nb, block)
+
+
+def _quant_signed(x2d: Array, rng) -> Moment8:
+    absmax = jnp.max(jnp.abs(x2d), axis=1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    y = x2d / scale
+    if rng is not None:
+        lo = jnp.floor(y)
+        y = lo + (jax.random.uniform(rng, y.shape) < (y - lo))
+    q = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    return Moment8(q=q, scale=scale)
+
+
+_LOG_STEPS_PER_OCTAVE = 8.0   # 2^(1/8) ~ 9% per code step, range 2^-31.75
+
+
+def _quant_unsigned(x2d: Array, rng) -> Moment8:
+    """Log-domain 8-bit code for the (nonnegative) second moment.
+
+    A LINEAR 8-bit code collapses any element below blockmax/510 to zero —
+    and g^2 spans >255x within a 256-block routinely, so sqrt(v)+eps
+    denominators would explode for the small-gradient elements. The log
+    code q = round(-log2(v/blockmax) * 8) covers a 2^-31.75 relative range
+    at ~9% resolution (the role of bitsandbytes' dynamic-tree map,
+    arXiv:2110.02861 §3), with q=255 reserved for exact zero. Pure VPU
+    elementwise — no lookup tables."""
+    k = _LOG_STEPS_PER_OCTAVE
+    scale = jnp.max(x2d, axis=1, keepdims=True)
+    safe = jnp.where(x2d > 0, x2d, 1.0)
+    y = -jnp.log2(safe / jnp.where(scale > 0, scale, 1.0)) * k
+    if rng is not None:
+        lo = jnp.floor(y)
+        y = lo + (jax.random.uniform(rng, y.shape) < (y - lo))
+    q = jnp.clip(jnp.round(y), 0, 254)
+    q = jnp.where((x2d <= 0) | (scale <= 0), 255.0, q).astype(jnp.uint8)
+    return Moment8(q=q, scale=scale)
+
+
+def _dequant(m: Moment8) -> Array:
+    if m.q.dtype == jnp.uint8:      # log code (second moment)
+        qf = m.q.astype(jnp.float32)
+        val = m.scale * jnp.exp2(-qf / _LOG_STEPS_PER_OCTAVE)
+        return jnp.where(m.q == 255, 0.0, val)
+    return m.q.astype(jnp.float32) * m.scale
+
+
+def _unblocked(x2d: Array, shape) -> Array:
+    n = 1
+    for d in shape:
+        n *= d
+    return jnp.ravel(x2d)[:n].reshape(shape)
+
+
+def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
+                       eps: float = 1e-6, block: int = 256,
+                       correct_bias: bool = False,
+                       stochastic_round: bool = True,
+                       seed: int = 0x8B17) -> optax.GradientTransformation:
+    """Adam second-moment scaling with int8/uint8 blockwise moments.
+
+    Semantics match train/optim.py:_scale_by_adam (correct_bias True =
+    torch Adam, False = HF AdamW) up to quantization error; state is
+    2 bytes/param + 8/block bytes of scales instead of 8 bytes/param."""
+
+    def init_fn(params):
+        def zq(p):
+            return Moment8(q=jnp.zeros((-(-p.size // block), block),
+                                       jnp.int8),
+                           scale=jnp.ones((-(-p.size // block), 1),
+                                          jnp.float32))
+
+        def zqu(p):
+            m = zq(p)
+            # log code: 255 is the reserved exact-zero symbol
+            return Moment8(q=jnp.full(m.q.shape, 255, jnp.uint8),
+                           scale=m.scale)
+
+        return ScaleByAdam8State(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zq, params),
+            nu=jax.tree_util.tree_map(zqu, params))
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        mu_l = treedef.flatten_up_to(state.mu)
+        nu_l = treedef.flatten_up_to(state.nu)
+        base = jax.random.fold_in(jax.random.PRNGKey(seed), count)
+
+        out_u, out_mu, out_nu = [], [], []
+        for i, (g, mq, vq) in enumerate(zip(leaves, mu_l, nu_l)):
+            g2d = _blocked(g, block)
+            m = b1 * _dequant(mq) + (1 - b1) * g2d
+            v = b2 * _dequant(vq) + (1 - b2) * jnp.square(g2d)
+            if correct_bias:
+                c = count.astype(jnp.float32)
+                m_hat = m / (1 - b1 ** c)
+                v_hat = v / (1 - b2 ** c)
+                u = m_hat / (jnp.sqrt(v_hat) + eps)
+            else:
+                u = m / (jnp.sqrt(v) + eps)
+            if stochastic_round:
+                k = jax.random.fold_in(base, i)
+                k_m, k_v = jax.random.split(k)
+            else:
+                k_m = k_v = None
+            out_u.append(_unblocked(u, g.shape).astype(g.dtype))
+            out_mu.append(_quant_signed(m, k_m))
+            out_nu.append(_quant_unsigned(v, k_v))
+
+        return (jax.tree_util.tree_unflatten(treedef, out_u),
+                ScaleByAdam8State(
+                    count=count,
+                    mu=jax.tree_util.tree_unflatten(treedef, out_mu),
+                    nu=jax.tree_util.tree_unflatten(treedef, out_nu)))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def moment_state_bytes(params) -> tuple:
+    """(8-bit state bytes, f32 Adam state bytes) for a param tree — the
+    memory claim, computable without materializing either."""
+    q8 = f32 = 0
+    for p in jax.tree_util.tree_leaves(params):
+        nb = -(-p.size // 256)
+        q8 += 2 * (nb * 256 + 4 * nb)     # two moments: q bytes + scales
+        f32 += 8 * p.size
+    return q8, f32
