@@ -181,3 +181,59 @@ def test_3b_pp_composition_compiles():
                  for s in jax.tree_util.tree_leaves(pp_shapes.shared))
     per_dev = blocks // 2 + shared
     assert per_dev < 0.55 * (blocks + shared)
+
+
+def test_3b_1f1b_composition_compiles_and_bounds_activations():
+    """1F1B at the 3b shape: the wavefront step AOT-compiles under
+    PP(2) x DP(4), and its analytically-exact live activation set (the scan
+    carry: residual rings + messages + parked buffers) stays O(S) — at
+    M=16 microbatches it is a fraction of GPipe's O(M) saved stage inputs,
+    which is the reason pp_schedule='1f1b' exists."""
+    from lako_tpu.parallel.pp_1f1b import (build_schedule,
+                                           make_pp_1f1b_loss_and_grads)
+    from lako_tpu.parallel.pp_train import (pp_param_shardings,
+                                            pp_params_from_fid)
+
+    cfg = t5_config_for_size("3b", dropout_rate=0.0, vocab_size=32128)
+    model = FiDT5(cfg, dtype=jnp.bfloat16)
+    M = 2          # B=8 over data=4: each microbatch must shard to >=1 row
+    ids = jax.ShapeDtypeStruct((B, N, L), jnp.int32)
+    mask = jax.ShapeDtypeStruct((B, N, L), jnp.bool_)
+    labels = jax.ShapeDtypeStruct((B, T), jnp.int32)
+    p_shapes = jax.eval_shape(
+        lambda r, i, m, l: model.init(r, i, m, l)["params"],
+        jax.random.PRNGKey(0), ids, mask, labels)
+    p_shapes = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, jnp.bfloat16), p_shapes)
+
+    devs = np.asarray(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "pipe"))
+    pp_shapes = jax.eval_shape(lambda p: pp_params_from_fid(p, cfg, 2),
+                               p_shapes)
+    pp_sh = pp_param_shardings(mesh, pp_shapes)
+    fn = make_pp_1f1b_loss_and_grads(mesh, cfg, M, dtype=jnp.bfloat16,
+                                     data_axis="data")
+    data_sh = (NamedSharding(mesh, P("data", None, None)),
+               NamedSharding(mesh, P("data", None, None)),
+               NamedSharding(mesh, P("data", None)))
+    jstep = jax.jit(fn, in_shardings=(pp_sh,) + data_sh)
+    jstep.lower(pp_shapes, ids, mask, labels).compile()
+
+    # ---- O(S) vs O(M) arithmetic at M=16, from exact shapes -------------
+    # (a production-sized run: global batch 64 split into 16 microbatches
+    # over pipe=2 x data=4 — the regime 1F1B exists for)
+    S, DP, M_big, B_big = 2, 4, 16, 64
+    H, itm = cfg.d_model, 2                      # bf16
+    mB = B_big // M_big                          # per-microbatch rows
+    mBn, mBl, NL = mB * N // DP, mB // DP, N * L
+    sch = build_schedule(S, M_big)
+    ring_1f1b = (sch.enc_slots * mBn * L * H
+                 + sch.dec_slots * mBl * (T + NL) * H
+                 + 2 * mBl * T * H                     # gy ring
+                 + 2 * mBl * NL * H                    # parked eo / d_eo
+                 + 2 * (mBn * L + mBl * T + mBl * NL) * H) * itm  # messages
+    # GPipe keeps every microbatch's remat-saved stage inputs (enc + dec legs)
+    # plus the pipe-replicated full encoder output alive across the step
+    gpipe_live = (M_big * (mBn * L + mBl * T) * H
+                  + (B_big // DP) * NL * H) * itm
+    assert ring_1f1b < 0.6 * gpipe_live, (ring_1f1b, gpipe_live)
