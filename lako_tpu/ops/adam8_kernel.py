@@ -1,0 +1,159 @@
+"""Fused Pallas kernel for the 8-bit Adam update (train/optim8.py).
+
+Why a kernel: the jnp formulation of the quantized update is a
+reduce-then-use pattern — the new moments feed BOTH a per-block absmax
+reduction (for the requant scale) and the elementwise requantize/update —
+and XLA materializes the f32 moment tensors around that boundary. Measured
+on the v5e at t5-large scale (artifacts/optim8_ab.json): the jnp 8-bit
+update costs 51.6 ms vs 12.7 ms for the plain f32/bf16-moment AdamW
+segment, i.e. the halved state bytes were erased 3x over by f32 temp
+traffic. This kernel runs the whole update in ONE pass per tile — load
+g/q-moments/scales, dequantize, EMA, Adam update, per-block absmax, dither,
+requantize, store — so HBM traffic is the theoretical minimum
+(g + old q + new q + u + scales ~ 7.5 GB for 737M params ~ 9 ms).
+
+Layout: moments live blocked as (n_blocks, 256) int8/uint8 + (n_blocks, 1)
+f32 scales (the Moment8 layout of train/optim8.py). The grid tiles rows;
+every reduction is within-row (axis=-1), so Mosaic's automatic edge
+masking is safe for a ragged last tile. The stochastic-rounding dither is
+the same murmur-style integer hash as the jnp path (same function of
+(element index, step, salt), so kernel and fallback round identically).
+
+Measured (v5e, t5-large B=32 step; artifacts/optim8_ab.json):
+
+    optimizer segment   adamw(bf16 moments) 14.1 ms | kernel 44.4 | jnp 52.4
+    optimizer state     2.95 GB                     | 1.50 GB (both)
+    full step           151.3 ms (211.5 ex/s)       | 179.4 ms (178.4 ex/s)
+
+The kernel beats the jnp formulation by 15% and is the default on TPU
+("auto"), but it does NOT reach the bandwidth floor (~9 ms): a chained
+fori_loop microbench isolates it at 2.18 ms per 46M elements vs 0.47 ms
+for an XLA bf16-moment update of the same shape and 0.11 ms for a pure
+pallas copy — the update is COMPUTE-bound on Mosaic's int8<->f32 relayouts
+and the exp2/log2 of the v log-code, not on HBM. Stochastic rounding
+itself is cheap (+0.15 ms per 46M). Net: adamw8bit is a MEMORY knob
+(half the optimizer state, +19% step time at B=32) — use it when Adam
+semantics matter and state must shrink; use adafactor when factored
+second moments are acceptable; plain adamw remains the throughput choice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+_K_LOG = 8.0                     # log-code steps per octave (optim8._LOG_*)
+
+
+def _dither_tile(shape, row0, count, salt: int):
+    """Uniform [0,1) hash dither; identical math to optim8._dither but with
+    the absolute element index rebuilt from the grid row offset."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0
+    idx = rows * jnp.uint32(shape[1]) \
+        + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = idx ^ (count * jnp.uint32(0x9E3779B9)) \
+        ^ jnp.uint32((salt * 0x85EBCA6B) & 0xFFFFFFFF)
+    h = h * jnp.uint32(0xCC9E2D51)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x1B873593)
+    h = h ^ (h >> 13)
+    # Mosaic lacks a u32->f32 cast; (h>>8) fits 24 bits, so via i32
+    return ((h >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(2.0 ** -24))
+
+
+def _kernel(cnt_ref, g_ref, mq_ref, ms_ref, vq_ref, vs_ref,
+            u_ref, omq_ref, oms_ref, ovq_ref, ovs_ref,
+            *, R, b1, b2, eps, correct_bias, stochastic_round, seed,
+            leaf_salt):
+    count = cnt_ref[0, 0]
+    g = g_ref[...].astype(jnp.float32)
+    C = g.shape[1]
+
+    m = mq_ref[...].astype(jnp.float32) * ms_ref[...]
+    vq_i = vq_ref[...].astype(jnp.int32)       # Mosaic: no u8->f32 cast
+    v = vs_ref[...] * jnp.exp2(-vq_i.astype(jnp.float32) / _K_LOG)
+    v = jnp.where(vq_i == 255, 0.0, v)
+
+    m = b1 * m + (1.0 - b1) * g
+    v = b2 * v + (1.0 - b2) * g * g
+
+    if correct_bias:
+        c = count.astype(jnp.float32)
+        corr1 = 1.0 - jnp.exp(c * jnp.log(jnp.float32(b1)))
+        corr2 = 1.0 - jnp.exp(c * jnp.log(jnp.float32(b2)))
+        u = (m / corr1) / (jnp.sqrt(v / corr2) + eps)
+    else:
+        u = m / (jnp.sqrt(v) + eps)
+    u_ref[...] = u.astype(u_ref.dtype)
+
+    row0 = (pl.program_id(0) * R).astype(jnp.uint32)
+    cnt_u = count.astype(jnp.uint32)
+
+    # requantize m: linear signed int8, per-row absmax
+    amax = jnp.max(jnp.abs(m), axis=1, keepdims=True)
+    ms = jnp.where(amax > 0, amax / 127.0, 1.0)
+    y = m / ms
+    if stochastic_round:
+        lo = jnp.floor(y)
+        y = lo + (_dither_tile(y.shape, row0, cnt_u, seed + 2 * leaf_salt)
+                  < (y - lo))
+    omq_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    oms_ref[...] = ms
+
+    # requantize v: log-domain uint8 code, q=255 reserved for zero
+    vmax = jnp.max(v, axis=1, keepdims=True)
+    safe = jnp.where(v > 0, v, 1.0)
+    yv = -jnp.log2(safe / jnp.where(vmax > 0, vmax, 1.0)) * _K_LOG
+    if stochastic_round:
+        lo = jnp.floor(yv)
+        yv = lo + (_dither_tile(yv.shape, row0, cnt_u,
+                                seed + 2 * leaf_salt + 1) < (yv - lo))
+    qv = jnp.clip(jnp.round(yv), 0, 254)
+    qv = jnp.where((v <= 0) | (vmax <= 0), 255.0, qv)
+    ovq_ref[...] = qv.astype(jnp.int32).astype(jnp.uint8)
+    ovs_ref[...] = vmax
+
+
+def fused_adam8_update(g2d: Array, mq: Array, ms: Array, vq: Array,
+                       vs: Array, count: Array, *, b1: float, b2: float,
+                       eps: float, correct_bias: bool,
+                       stochastic_round: bool, seed: int, leaf_salt: int,
+                       out_dtype=None, row_tile: int = 256,
+                       interpret: bool = False):
+    """One-pass 8-bit Adam update on a blocked (nb, 256) leaf.
+
+    Returns (u, new_mq, new_ms, new_vq, new_vs) with u in ``out_dtype``
+    (default: g2d.dtype). Numerics match the jnp path of
+    train/optim8.py bit-for-bit in expectation (same dither function)."""
+    nb, C = g2d.shape
+    R = min(row_tile, nb)
+    grid = (-(-nb // R),)
+    out_dtype = out_dtype or g2d.dtype
+
+    kern = functools.partial(
+        _kernel, R=R, b1=b1, b2=b2, eps=eps, correct_bias=correct_bias,
+        stochastic_round=stochastic_round, seed=seed, leaf_salt=leaf_salt)
+
+    row = pl.BlockSpec((R, C), lambda i: (i, 0))
+    scl = pl.BlockSpec((R, 1), lambda i: (i, 0))
+    cnt = pl.BlockSpec((1, 1), lambda i: (0, 0))
+    cnt_arr = jnp.asarray(count, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[cnt, row, row, scl, row, scl],
+        out_specs=[row, row, scl, row, scl],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, C), out_dtype),
+            jax.ShapeDtypeStruct((nb, C), jnp.int8),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, C), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cnt_arr, g2d, mq, ms, vq, vs)

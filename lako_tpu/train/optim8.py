@@ -19,14 +19,23 @@ step, far below int8's ~0.8%-of-blockmax resolution; nearest rounding
 freezes the moment at its lattice point (the update rounds back) until the
 gradient regime shifts by >~ the half-step. Stochastic rounding makes each
 requantization unbiased, so the EMA tracks in expectation at any update
-size. The RNG is counter-based (threefry keyed on the step count and a
-per-leaf index) — no key threading through optax.
+size. The dither is a counter-based integer hash of (element index, step,
+salt) — no key threading through optax, and ~40x cheaper than threefry
+(which was measured to cost more than the entire f32 optimizer segment).
 
 The reference trains with HF AdamW(correct_bias=False) (src/util.py:224);
 ``scale_by_adam_8bit`` mirrors both bias-correction variants of
 train/optim.py:_scale_by_adam and drops into the same chain (clipping,
 layerwise decay, HF decoupled weight decay), selected by
 ``OptimConfig(optim="adamw8bit")``.
+
+Measured cost (v5e, t5-large B=32; artifacts/optim8_ab.json): optimizer
+state 1.50 GB vs bf16-moment AdamW's 2.95 GB; optimizer segment 44.4 ms
+(fused Pallas kernel, the TPU default) vs 14.1 ms — the update is
+compute-bound on int8 relayouts, not bandwidth (ops/adam8_kernel.py
+docstring has the decomposition). This is a MEMORY knob: choose it when
+full Adam semantics matter and optimizer state must halve; choose
+adafactor for O(rows+cols) state; plain adamw for raw step throughput.
 """
 
 from __future__ import annotations
@@ -62,13 +71,34 @@ def _blocked(x: Array, block: int) -> Array:
     return jnp.pad(flat, (0, nb * block - n)).reshape(nb, block)
 
 
-def _quant_signed(x2d: Array, rng) -> Moment8:
+def _dither(shape, count, salt: int) -> Array:
+    """Uniform [0,1) dither from a murmur-style integer hash of
+    (element index, step count, per-use salt) — ~6 VPU int ops/element.
+
+    Counter-based crypto RNG is ~40x more expensive and measured to eat the
+    entire bandwidth saving (threefry: 8 ms / 184M uniforms on a v5e, i.e.
+    ~64 ms for t5-large's two moments — vs the 13 ms total f32-optimizer
+    segment). Stochastic rounding only needs step-decorrelated dither, not
+    cryptographic randomness; the finalizer below is the standard GPU/TPU
+    dithering choice."""
+    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+           * jnp.uint32(shape[1])
+           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    h = idx ^ (jnp.asarray(count, jnp.uint32) * jnp.uint32(0x9E3779B9)) \
+        ^ jnp.uint32((salt * 0x85EBCA6B) & 0xFFFFFFFF)
+    h = h * jnp.uint32(0xCC9E2D51)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x1B873593)
+    h = h ^ (h >> 13)
+    return (h >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
+def _quant_signed(x2d: Array, dither) -> Moment8:
     absmax = jnp.max(jnp.abs(x2d), axis=1, keepdims=True)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     y = x2d / scale
-    if rng is not None:
+    if dither is not None:
         lo = jnp.floor(y)
-        y = lo + (jax.random.uniform(rng, y.shape) < (y - lo))
+        y = lo + (dither < (y - lo))
     q = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     return Moment8(q=q, scale=scale)
 
@@ -76,7 +106,7 @@ def _quant_signed(x2d: Array, rng) -> Moment8:
 _LOG_STEPS_PER_OCTAVE = 8.0   # 2^(1/8) ~ 9% per code step, range 2^-31.75
 
 
-def _quant_unsigned(x2d: Array, rng) -> Moment8:
+def _quant_unsigned(x2d: Array, dither) -> Moment8:
     """Log-domain 8-bit code for the (nonnegative) second moment.
 
     A LINEAR 8-bit code collapses any element below blockmax/510 to zero —
@@ -90,9 +120,9 @@ def _quant_unsigned(x2d: Array, rng) -> Moment8:
     scale = jnp.max(x2d, axis=1, keepdims=True)
     safe = jnp.where(x2d > 0, x2d, 1.0)
     y = -jnp.log2(safe / jnp.where(scale > 0, scale, 1.0)) * k
-    if rng is not None:
+    if dither is not None:
         lo = jnp.floor(y)
-        y = lo + (jax.random.uniform(rng, y.shape) < (y - lo))
+        y = lo + (dither < (y - lo))
     q = jnp.clip(jnp.round(y), 0, 254)
     q = jnp.where((x2d <= 0) | (scale <= 0), 255.0, q).astype(jnp.uint8)
     return Moment8(q=q, scale=scale)
@@ -117,12 +147,22 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
                        eps: float = 1e-6, block: int = 256,
                        correct_bias: bool = False,
                        stochastic_round: bool = True,
-                       seed: int = 0x8B17) -> optax.GradientTransformation:
+                       seed: int = 0x8B17,
+                       use_kernel: str = "auto") -> optax.GradientTransformation:
     """Adam second-moment scaling with int8/uint8 blockwise moments.
 
     Semantics match train/optim.py:_scale_by_adam (correct_bias True =
     torch Adam, False = HF AdamW) up to quantization error; state is
-    2 bytes/param + 8/block bytes of scales instead of 8 bytes/param."""
+    2 bytes/param + 8/block bytes of scales instead of 8 bytes/param.
+
+    ``use_kernel``: "auto" routes block-aligned leaves >= 64K elements
+    through the fused Pallas kernel on TPU backends (ops/adam8_kernel.py —
+    one HBM pass; the jnp formulation's reduce-then-use pattern makes XLA
+    materialize f32 moment temps, measured 4x slower than f32 AdamW at
+    t5-large scale); "never" forces the jnp path; "always" forces the
+    kernel (interpret-mode on CPU, for tests)."""
+    if use_kernel not in ("auto", "never", "always"):
+        raise ValueError(use_kernel)
 
     def init_fn(params):
         def zq(p):
@@ -147,11 +187,34 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
         leaves, treedef = jax.tree_util.tree_flatten(updates)
         mu_l = treedef.flatten_up_to(state.mu)
         nu_l = treedef.flatten_up_to(state.nu)
-        base = jax.random.fold_in(jax.random.PRNGKey(seed), count)
+
+        if use_kernel == "never":
+            kernel_ok = lambda g: False
+        else:
+            on_tpu = jax.default_backend() not in ("cpu",)
+            interp = not on_tpu
+
+            def kernel_ok(g):
+                if use_kernel == "always":
+                    return True
+                return on_tpu and g.size % block == 0 and g.size >= 65536
 
         out_u, out_mu, out_nu = [], [], []
         for i, (g, mq, vq) in enumerate(zip(leaves, mu_l, nu_l)):
             g2d = _blocked(g, block)
+            if kernel_ok(g):
+                from lako_tpu.ops.adam8_kernel import fused_adam8_update
+
+                u2d, nmq, nms, nvq, nvs = fused_adam8_update(
+                    g2d, mq.q, mq.scale, vq.q, vq.scale, count,
+                    b1=b1, b2=b2, eps=eps, correct_bias=correct_bias,
+                    stochastic_round=stochastic_round, seed=seed,
+                    leaf_salt=i, out_dtype=g.dtype,
+                    interpret=(use_kernel == "always" and interp))
+                out_u.append(_unblocked(u2d, g.shape))
+                out_mu.append(Moment8(q=nmq, scale=nms))
+                out_nu.append(Moment8(q=nvq, scale=nvs))
+                continue
             m = b1 * _dequant(mq) + (1 - b1) * g2d
             v = b2 * _dequant(vq) + (1 - b2) * jnp.square(g2d)
             if correct_bias:
@@ -162,8 +225,8 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
             else:
                 u = m / (jnp.sqrt(v) + eps)
             if stochastic_round:
-                k = jax.random.fold_in(base, i)
-                k_m, k_v = jax.random.split(k)
+                k_m = _dither(g2d.shape, count, seed + 2 * i)
+                k_v = _dither(g2d.shape, count, seed + 2 * i + 1)
             else:
                 k_m = k_v = None
             out_u.append(_unblocked(u, g.shape).astype(g.dtype))

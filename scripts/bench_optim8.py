@@ -49,9 +49,24 @@ def main():
                                      params0)
 
     def time_step(optim_name):
-        tx = make_optimizer(OptimConfig(
-            optim=optim_name, lr=4e-5, weight_decay=0.1, scheduler="linear",
-            warmup_steps=100, total_steps=10_000))
+        if optim_name == "adamw8bit_jnp":
+            # the jnp fallback formulation, for the kernel-vs-XLA delta
+            import optax
+
+            from lako_tpu.train.optim import _hf_decoupled_decay, \
+                _no_decay_mask, warmup_linear_schedule
+            from lako_tpu.train.optim8 import scale_by_adam_8bit
+
+            lr = warmup_linear_schedule(4e-5, 100, 10_000)
+            tx = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                scale_by_adam_8bit(use_kernel="never"),
+                optax.scale_by_learning_rate(lr),
+                _hf_decoupled_decay(0.1, lr, _no_decay_mask))
+        else:
+            tx = make_optimizer(OptimConfig(
+                optim=optim_name, lr=4e-5, weight_decay=0.1,
+                scheduler="linear", warmup_steps=100, total_steps=10_000))
         params = jax.tree_util.tree_map(
             lambda a: jnp.array(a, copy=True), params0)
         state = TrainState.create(params, tx)
@@ -101,7 +116,7 @@ def main():
                 "examples_per_sec": round(B * 1e3 / step_ms, 1)}
 
     out = {}
-    for name in ("adamw", "adamw8bit"):
+    for name in ("adamw", "adamw8bit", "adamw8bit_jnp"):
         out[name] = time_step(name)
         print(f"[optim8] {name}: {out[name]}", flush=True)
 

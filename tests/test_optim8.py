@@ -49,14 +49,64 @@ def test_log_code_covers_wide_dynamic_range():
 def test_stochastic_rounding_is_unbiased():
     # one 127.0 inside the block pins scale=1; the rest sit at 0.3 — between
     # lattice points 0 and 1, where nearest rounding would deterministically
-    # give 0 but stochastic rounding must average to 0.3 over keys
+    # give 0 but stochastic rounding must average to 0.3 over steps
+    from lako_tpu.train.optim8 import _dither
+
     x2d = jnp.full((1, 256), 0.3).at[0, 0].set(127.0)
     vals = []
     for s in range(64):
-        m = _quant_signed(x2d, jax.random.PRNGKey(s))
+        m = _quant_signed(x2d, _dither(x2d.shape, s, 7))
         vals.append(float(np.asarray(_dequant(m))[0, 1:].mean()))
     assert abs(np.mean(vals) - 0.3) < 0.02
     assert np.std(vals) > 0          # it actually randomizes
+
+
+def test_fused_kernel_matches_jnp_path():
+    """The Pallas kernel (interpret-mode here) must produce bit-identical
+    updates AND quantized states to the jnp fallback — same dither hash,
+    same quantization lattice — over several steps of a real trajectory."""
+    rng = np.random.default_rng(3)
+    params = {"w": jnp.asarray(rng.normal(size=(512,)).astype(np.float32)),
+              "e": jnp.asarray(rng.normal(size=(2, 256)).astype(np.float32))}
+
+    def drive(use_kernel):
+        tx = scale_by_adam_8bit(use_kernel=use_kernel)
+        state = tx.init(params)
+        up = jax.jit(tx.update)
+        for s in range(5):
+            g = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    np.random.default_rng(s).normal(size=p.shape)
+                    .astype(np.float32)), params)
+            u, state = up(g, state)
+        return u, state
+
+    u_k, st_k = drive("always")
+    u_j, st_j = drive("never")
+    for a, b in zip(jax.tree_util.tree_leaves((u_k, st_k)),
+                    jax.tree_util.tree_leaves((u_j, st_j))):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype in (np.int8, np.uint8, np.int32):
+            # the quantized states and step count must agree EXACTLY —
+            # one code of drift would compound over steps
+            np.testing.assert_array_equal(a, b, err_msg=str(a.dtype))
+        else:
+            # float outputs may differ by FMA-contraction ulps between the
+            # interpret-mode kernel and XLA
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-30)
+
+
+def test_dither_is_uniform_and_step_decorrelated():
+    from lako_tpu.train.optim8 import _dither
+
+    d0 = np.asarray(_dither((64, 256), 5, 1)).ravel()
+    d1 = np.asarray(_dither((64, 256), 6, 1)).ravel()
+    assert 0.0 <= d0.min() and d0.max() < 1.0
+    assert abs(d0.mean() - 0.5) < 0.01
+    # adjacent steps decorrelated; different salts too
+    assert abs(np.corrcoef(d0, d1)[0, 1]) < 0.02
+    d2 = np.asarray(_dither((64, 256), 5, 2)).ravel()
+    assert abs(np.corrcoef(d0, d2)[0, 1]) < 0.02
 
 
 def test_ema_tracks_under_quantization():
