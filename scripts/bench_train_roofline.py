@@ -17,14 +17,17 @@ layer norms/residuals, and the AdamW update (~5 GB of param/moment traffic
 Run (TPU): python scripts/bench_train_roofline.py
        python scripts/bench_train_roofline.py --config ref   # B=8 headline
 
---config ref decomposes the HEADLINE bench config (reference-faithful B=8,
-L=130, non-donated state — run_okvqa_train.sh:6-10) the same way, so the
-~33% reference-config MFU is pinned to its own floor argument instead of
-inheriting B=32's: at B=8 the model matmuls at peak need ~1/4 the time of
-B=32's but the AdamW update is batch-INDEPENDENT (~10 GB of param/moment
-traffic), so the optimizer alone is ~18% of the step and the bandwidth-bound
-elementwise another ~30% — small-batch MFU is structurally bounded well
-below the B=32 optimum. Results land in artifacts/train_roofline_ref.json.
+--config ref decomposes the B=8 L=130 headline config the same way
+(run_okvqa_train.sh:6-10). MEASURED r3 (artifacts/train_roofline_ref.json,
+non-donated segment timing): full step 89.8 ms = encoder fwd 14.0 +
+decoder/loss 4.0 + backward 37.4 + optimizer 34.4; model matmuls at peak
+need only 24.2 ms. Two structural facts fall out: (a) the optimizer
+segment is batch-INDEPENDENT, so at B=8 it is ~38% of the step vs ~8% at
+B=32 — small-batch MFU is bounded far below the B=32 optimum no matter
+the kernels; (b) 22 ms of that optimizer segment was non-donation state
+copies — the production step (train/reader.py:66) donates, so the bench
+headline now measures donate=True (A/B: 115.9 -> 125.6 ex/s, 35.1 ->
+38.0% MFU). Results land in artifacts/train_roofline_ref.json.
 """
 
 import argparse
