@@ -5,7 +5,7 @@ reduce-then-use pattern — the new moments feed BOTH a per-block absmax
 reduction (for the requant scale) and the elementwise requantize/update —
 and XLA materializes the f32 moment tensors around that boundary. Measured
 on the v5e at t5-large scale (artifacts/optim8_ab.json): the jnp 8-bit
-update costs 51.6 ms vs 12.7 ms for the plain f32/bf16-moment AdamW
+update costs 52.4 ms vs 14.1 ms for the plain bf16-moment AdamW
 segment, i.e. the halved state bytes were erased 3x over by f32 temp
 traffic. This kernel runs the whole update in ONE pass per tile — load
 g/q-moments/scales, dequantize, EMA, Adam update, per-block absmax, dither,
@@ -51,19 +51,16 @@ _K_LOG = 8.0                     # log-code steps per octave (optim8._LOG_*)
 
 
 def _dither_tile(shape, row0, count, salt: int):
-    """Uniform [0,1) hash dither; identical math to optim8._dither but with
-    the absolute element index rebuilt from the grid row offset."""
+    """Uniform [0,1) hash dither: the absolute element index is rebuilt
+    from the grid row offset, then fed to the ONE shared hash
+    (optim8._dither_from_idx) so kernel and jnp fallback round
+    identically by construction."""
+    from lako_tpu.train.optim8 import _dither_from_idx
+
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0
     idx = rows * jnp.uint32(shape[1]) \
         + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    h = idx ^ (count * jnp.uint32(0x9E3779B9)) \
-        ^ jnp.uint32((salt * 0x85EBCA6B) & 0xFFFFFFFF)
-    h = h * jnp.uint32(0xCC9E2D51)
-    h = (h ^ (h >> 15)) * jnp.uint32(0x1B873593)
-    h = h ^ (h >> 13)
-    # Mosaic lacks a u32->f32 cast; (h>>8) fits 24 bits, so via i32
-    return ((h >> 8).astype(jnp.int32).astype(jnp.float32)
-            * jnp.float32(2.0 ** -24))
+    return _dither_from_idx(idx, count, salt)
 
 
 def _kernel(cnt_ref, g_ref, mq_ref, ms_ref, vq_ref, vs_ref,

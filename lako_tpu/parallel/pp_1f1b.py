@@ -168,6 +168,12 @@ def make_pp_1f1b_loss_and_grads(mesh: Mesh, cfg: T5Config,
         if B % M:
             raise ValueError(f"batch {B} not divisible by {M} microbatches")
         mB = B // M
+        if data_axis is not None and mB % mesh.shape[data_axis]:
+            raise ValueError(
+                f"microbatch rows {mB} (= batch {B} / {M} microbatches) not "
+                f"divisible by mesh axis {data_axis!r}="
+                f"{mesh.shape[data_axis]}; lower pp_microbatches or raise "
+                f"the batch")
         T_dec = labels.shape[1]
         H = cfg.d_model
 

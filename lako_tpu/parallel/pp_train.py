@@ -187,13 +187,18 @@ def pp_param_shardings(mesh: Mesh, pp: PPParams, pipe_axis: str = "pipe"):
 
 def place_pp_params(mesh: Mesh, pp: PPParams,
                     pipe_axis: str = "pipe") -> PPParams:
-    # device_put to a replicated sharding can zero-copy-alias the source
-    # buffer (one shard shares it); a later donated train step would then
-    # delete the caller's original leaf. Copy first so placement never
-    # aliases the input tree.
+    # device_put of a committed jax Array to a replicated sharding can
+    # zero-copy-alias the source buffer (one shard shares it); a later
+    # donated train step would then delete the caller's original leaf.
+    # Copy those first. Host numpy leaves cannot alias device buffers —
+    # device_put them directly (no transient full-leaf device copy).
+    def _place(a, s):
+        if isinstance(a, jax.Array):
+            a = jnp.array(a, copy=True)
+        return jax.device_put(a, s)
+
     return jax.tree_util.tree_map(
-        lambda a, s: jax.device_put(jnp.array(a, copy=True), s),
-        pp, pp_param_shardings(mesh, pp, pipe_axis))
+        _place, pp, pp_param_shardings(mesh, pp, pipe_axis))
 
 
 def _dec_stage_apply(cfg: T5Config, dtype, stage: StackedDecoderBlocks,

@@ -71,9 +71,12 @@ def _blocked(x: Array, block: int) -> Array:
     return jnp.pad(flat, (0, nb * block - n)).reshape(nb, block)
 
 
-def _dither(shape, count, salt: int) -> Array:
+def _dither_from_idx(idx: Array, count, salt: int) -> Array:
     """Uniform [0,1) dither from a murmur-style integer hash of
-    (element index, step count, per-use salt) — ~6 VPU int ops/element.
+    (absolute element index, step count, per-use salt) — ~6 VPU int
+    ops/element. The SINGLE source of the hash constants: the Pallas
+    kernel (ops/adam8_kernel.py) calls this same function with a
+    grid-offset index, and kernel/jnp bit-parity depends on it.
 
     Counter-based crypto RNG is ~40x more expensive and measured to eat the
     entire bandwidth saving (threefry: 8 ms / 184M uniforms on a v5e, i.e.
@@ -81,15 +84,21 @@ def _dither(shape, count, salt: int) -> Array:
     segment). Stochastic rounding only needs step-decorrelated dither, not
     cryptographic randomness; the finalizer below is the standard GPU/TPU
     dithering choice."""
-    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-           * jnp.uint32(shape[1])
-           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     h = idx ^ (jnp.asarray(count, jnp.uint32) * jnp.uint32(0x9E3779B9)) \
         ^ jnp.uint32((salt * 0x85EBCA6B) & 0xFFFFFFFF)
     h = h * jnp.uint32(0xCC9E2D51)
     h = (h ^ (h >> 15)) * jnp.uint32(0x1B873593)
     h = h ^ (h >> 13)
-    return (h >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    # via i32: Mosaic lacks a u32->f32 cast, and (h>>8) fits in 24 bits
+    return ((h >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(2.0 ** -24))
+
+
+def _dither(shape, count, salt: int) -> Array:
+    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+           * jnp.uint32(shape[1])
+           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    return _dither_from_idx(idx, count, salt)
 
 
 def _quant_signed(x2d: Array, dither) -> Moment8:
@@ -191,7 +200,9 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
         if use_kernel == "never":
             kernel_ok = lambda g: False
         else:
-            on_tpu = jax.default_backend() not in ("cpu",)
+            # the kernel targets Mosaic; "auto" must not route GPU (Triton
+            # lowering is untested for it) — only real TPU backends
+            on_tpu = jax.default_backend() in ("tpu", "axon")
             interp = not on_tpu
 
             def kernel_ok(g):
@@ -242,12 +253,13 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def moment_state_bytes(params) -> tuple:
+def moment_state_bytes(params, block: int = 256) -> tuple:
     """(8-bit state bytes, f32 Adam state bytes) for a param tree — the
-    memory claim, computable without materializing either."""
+    memory claim, computable without materializing either. ``block`` must
+    match the value given to scale_by_adam_8bit."""
     q8 = f32 = 0
     for p in jax.tree_util.tree_leaves(params):
-        nb = -(-p.size // 256)
-        q8 += 2 * (nb * 256 + 4 * nb)     # two moments: q bytes + scales
+        nb = -(-p.size // block)
+        q8 += 2 * (nb * block + 4 * nb)   # two moments: q bytes + scales
         f32 += 8 * p.size
     return q8, f32

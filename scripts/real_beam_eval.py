@@ -96,6 +96,10 @@ def main():
                            t5_config=t5_cfg)
         print(f"trained t5-small: best EM {100*res.best_dev_em:.1f} "
               f"in {time.time()-t0:.0f}s", flush=True)
+    if not ckpt.exists():
+        # best_dev is only written when dev EM improves above 0.0; fall
+        # back to the always-written per-epoch checkpoint
+        ckpt = wd / "reader" / "checkpoint" / "last"
     template = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 1, 128), jnp.int32), jnp.ones((1, 1, 128), bool),

@@ -139,3 +139,34 @@ def test_1f1b_train_step_trains():
     assert all(np.isfinite(l_1f1b))
     assert l_1f1b[-1] < l_1f1b[0]
     np.testing.assert_allclose(l_1f1b, l_gpipe, rtol=1e-4, atol=1e-6)
+
+
+def test_1f1b_reader_end_to_end():
+    """ReaderTrainConfig.pp_schedule='1f1b' routes train_reader through the
+    wavefront step: one epoch on the tiny fixture trains to a finite,
+    falling loss with eval decode working off the canonical tree."""
+    from lako_tpu.core.config import ReaderTrainConfig
+    from lako_tpu.text.tokenizer import WordVocabTokenizer
+    from lako_tpu.train.reader import train_reader
+
+    exs = [{"question": f"is item {i} on", "target": "yes" if i % 2 else "no",
+            "answer": {"yes" if i % 2 else "no": 1.0}, "caption": "a board.",
+            "fact": [{"sentence": "items toggle.", "id": 0}]}
+           for i in range(16)]
+    tok = WordVocabTokenizer.build(
+        [e["question"] for e in exs]
+        + ["yes no a board. items toggle. question: context: fact:"])
+    cfg = ReaderTrainConfig.from_dict({
+        "model_size": "tiny", "per_device_batch_size": 2, "eval_batch_size": 8,
+        "epochs": 2, "early_stop": 9, "eval_max_length": 4,
+        "use_remat": False, "dtype": "float32", "pp_microbatches": 2,
+        "pp_schedule": "1f1b", "mesh": {"pipe": 2, "data": 4},
+        "data": {"n_context": 1, "text_maxlength": 16, "answer_maxlength": 4,
+                 "stream": 2},
+        "optim": {"optim": "adamw", "lr": 3e-3},
+        "checkpoint_dir": "/tmp/unused", "name": "pp1f1b"})
+    res = train_reader(cfg, exs, exs[:8], tok, save_checkpoints=False)
+    assert res.final_step > 0
+    losses = [h["loss"] for h in res.history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
