@@ -19,7 +19,9 @@ encoder remat). The `extra` block carries:
   call) is measured, not derived;
 - decode_beam4_answers_per_sec: beam-4 decode through the ancestry-gather
   beam engine (models/t5/beam_engine.py) at the reference eval batch;
-- retrieval_qps_300k_top500: reference-scale (300,600-fact) dense MIPS.
+- retrieval_qps_300k_top500: reference-scale (300,600-fact) dense MIPS via
+  the "fast" index (bf16 scores + exact top_k, ~0.996+ recall vs f32 —
+  what r1-r3 measured), with the f32 faiss-parity "exact" qps beside it.
 
 vs_baseline (kept at top level as the fixed cross-round anchor, and echoed
 in `extra` under an honest name) divides the reference-config examples/sec
@@ -241,9 +243,13 @@ def _decode_beam_throughput(model, cfg, B, N, L, max_length, num_beams=4):
 
 def _retrieval_qps(n_corpus=300_600, dim=256, n_queries=2048, k=500):
     """Reference-scale dense retrieval (LaKo KG = 300,600 facts,
-    generate_fact_embeddings.py:34,100): top-500 exact MIPS queries/sec on
-    the single chip. scripts/bench_retrieval.py runs the full 14k query set
-    + a numpy-oracle check; this is the driver-captured subset."""
+    generate_fact_embeddings.py:34,100): top-500 MIPS queries/sec on the
+    single chip, for both index methods. "fast" (bf16 score matmul + exact
+    top_k, measured ~0.996+ recall vs f32) is the cross-round headline
+    number — it is what r1-r3 benches measured; "exact" (f32 scores,
+    faiss-IndexFlatIP-parity, oracle-pinned) is reported beside it.
+    scripts/bench_retrieval.py runs the full 14k query set + the numpy
+    oracle; this is the driver-captured subset."""
     import numpy as np
 
     from lako_tpu.retrieval.index import DenseIndex
@@ -251,16 +257,20 @@ def _retrieval_qps(n_corpus=300_600, dim=256, n_queries=2048, k=500):
     rng = np.random.default_rng(0)
     emb = rng.normal(size=(n_corpus, dim)).astype(np.float32)
     q = rng.normal(size=(n_queries, dim)).astype(np.float32)
-    index = DenseIndex(emb)
-    # warm at the SAME query-batch shape as the timed call — the search is
-    # jit-compiled per shape, and a mismatched warmup would put compile time
-    # inside the timed region
-    ids, _ = index.search(q, k=k, batch_size=2048)
-    _ = int(np.asarray(ids).sum())
-    t0 = time.perf_counter()
-    ids, _ = index.search(q, k=k, batch_size=2048)
-    _ = int(np.asarray(ids)[-1].sum())
-    return n_queries / (time.perf_counter() - t0)
+    out = {}
+    for method in ("fast", "exact"):
+        index = DenseIndex(emb, method=method)
+        # warm at the SAME query-batch shape as the timed call — the search
+        # is jit-compiled per shape, and a mismatched warmup would put
+        # compile time inside the timed region
+        ids, _ = index.search(q, k=k, batch_size=2048)
+        _ = int(np.asarray(ids).sum())
+        t0 = time.perf_counter()
+        ids, _ = index.search(q, k=k, batch_size=2048)
+        _ = int(np.asarray(ids)[-1].sum())
+        out[method] = n_queries / (time.perf_counter() - t0)
+        del index
+    return out
 
 
 def main():
@@ -315,7 +325,8 @@ def main():
             "decode_short_config": "chunk_size=16, EOS at token 4 "
                                    "(VQA answers are 1-5 tokens); measured",
             "decode_beam4_answers_per_sec": round(beam_ans_s, 1),
-            "retrieval_qps_300k_top500": round(ret_qps, 1),
+            "retrieval_qps_300k_top500": round(ret_qps["fast"], 1),
+            "retrieval_exact_f32_qps_300k_top500": round(ret_qps["exact"], 1),
             "vs_baseline_is_torch_estimate": "anchor 5.3 ex/s is a documented"
                                              " ESTIMATE (bench.py docstring);"
                                              " MFU is the grounded claim",

@@ -27,22 +27,31 @@ import numpy as np
 class DenseIndex:
     """Inner-product top-k over an embedding matrix kept on device.
 
-    ``method="exact"`` (default) is bit-faithful to the reference's FAISS
-    ``IndexFlatIP`` semantics (src/index.py:22-25). ``method="approx"`` swaps
-    the exact ``lax.top_k`` for the TPU-native ``lax.approx_max_k``
-    (partial-reduce TopK on the VPU; arXiv 2206.14286) at a configurable
-    ``recall_target`` — an opt-in speed/recall trade the reference's PQ index
-    also makes (IndexPQ is lossy). Scores are exact either way; only the
-    top-k selection is approximate. Measured on the v5e in
-    scripts/bench_retrieval.py (--approx): recall + qps side by side.
+    Three methods, priced on the v5e at the reference scale (300,600 x 256,
+    k=500, 14k queries — scripts/bench_retrieval.py, artifacts/
+    retrieval_qps.json). End-to-end qps on the tunneled runtime varies
+    run-to-run (pulling 14k x 500 results to the host dominates); the
+    RECALL numbers are stable and are the load-bearing claims:
+
+    - ``"exact"`` (default): f32 scores (Precision.HIGHEST) + exact
+      ``lax.top_k`` — bit-faithful to the reference's FAISS ``IndexFlatIP``
+      (src/index.py:22-25), pinned against a numpy oracle. ~475-540 qps.
+    - ``"fast"``: TPU-default (bf16-input) score matmul + exact top_k —
+      near-boundary ranks can flip vs f32: measured recall 0.9966,
+      1.35-2.4x exact's qps across runs. The right default for candidate
+      mining, where downstream rerank re-scores anyway.
+    - ``"approx"``: bf16 scores + ``lax.approx_max_k`` (partial-reduce
+      TopK, arXiv 2206.14286) at ``recall_target``: measured recall
+      0.9927 at recall_target=0.95, 1.5-3.1x exact across runs.
     """
 
     def __init__(self, embeddings: np.ndarray, ids: Optional[np.ndarray] = None,
                  dtype=jnp.float32, chunk_size: int = 131072,
                  method: str = "exact", recall_target: float = 0.95):
         n, d = embeddings.shape
-        if method not in ("exact", "approx"):
-            raise ValueError(f"method must be exact|approx, got {method!r}")
+        if method not in ("exact", "fast", "approx"):
+            raise ValueError(
+                f"method must be exact|fast|approx, got {method!r}")
         self.n, self.dim = n, d
         self.ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids)
         assert len(self.ids) == n
@@ -50,9 +59,13 @@ class DenseIndex:
         self.method = method
         self.recall_target = float(recall_target)
         self._emb = jax.device_put(jnp.asarray(embeddings, dtype=dtype))
-        topk = functools.partial(_chunked_topk, self.chunk_size) \
-            if method == "exact" else functools.partial(
-                _chunked_approx_topk, self.chunk_size, self.recall_target)
+        if method == "approx":
+            topk = functools.partial(_chunked_approx_topk, self.chunk_size,
+                                     self.recall_target)
+        else:
+            prec = (jax.lax.Precision.HIGHEST if method == "exact"
+                    else jax.lax.Precision.DEFAULT)
+            topk = functools.partial(_chunked_topk, self.chunk_size, prec)
         self._search = jax.jit(topk, static_argnums=(2,))
         # id → embedding-row lookup, built lazily on first rerank (identity
         # when ids are positional, the common case)
@@ -102,7 +115,9 @@ class DenseIndex:
             gathered = jnp.take(self._emb, jnp.asarray(rows[s:s + batch_size]),
                                 axis=0)                    # (b, C, d)
             q = jnp.asarray(queries[s:s + batch_size], dtype=self._emb.dtype)
-            scores = jnp.einsum("bcd,bd->bc", gathered, q).astype(jnp.float32)
+            scores = jnp.einsum("bcd,bd->bc", gathered, q,
+                    precision=jax.lax.Precision.HIGHEST
+                    ).astype(jnp.float32)
             order = jnp.argsort(-scores, axis=-1)
             sorted_scores = jnp.take_along_axis(scores, order, axis=-1)
             out_ids.append(np.take_along_axis(cand[s:s + batch_size],
@@ -127,17 +142,25 @@ class DenseIndex:
         return cls(emb, ids, dtype=dtype)
 
 
-def _chunked_topk(chunk_size: int, emb: jax.Array, queries: jax.Array, k: int):
-    """Streaming exact top-k: scan corpus chunks, merge running top-k.
+def _chunked_topk(chunk_size: int, precision, emb: jax.Array,
+                  queries: jax.Array, k: int):
+    """Streaming top-k with exact selection: scan corpus chunks, merge a
+    running top-k. Keeps peak memory at (Q, chunk) instead of (Q, N); XLA
+    pipelines the HBM reads of ``emb`` chunks against the MXU matmul.
 
-    Keeps peak memory at (Q, chunk) instead of (Q, N); XLA pipelines the HBM
-    reads of ``emb`` chunks against the MXU matmul.
+    ``precision`` prices the score matmul: HIGHEST for method="exact"
+    (the TPU default truncates matmul inputs to bf16, which reorders
+    near-boundary ranks vs faiss IndexFlatIP's f32 scores — caught by
+    bench_retrieval's numpy oracle at k=500 with 2/500 flips; "exact" must
+    mean f32-exact), DEFAULT for method="fast" (2.4x the qps, measured
+    ~0.996+ recall vs exact).
     """
     Q = queries.shape[0]
     n = emb.shape[0]
     n_chunks = (n + chunk_size - 1) // chunk_size
     if n_chunks <= 1:
-        scores = jnp.einsum("qd,nd->qn", queries, emb).astype(jnp.float32)
+        scores = jnp.einsum("qd,nd->qn", queries, emb,
+                            precision=precision).astype(jnp.float32)
         return jax.lax.top_k(scores, k)
 
     pad = n_chunks * chunk_size - n
@@ -147,7 +170,8 @@ def _chunked_topk(chunk_size: int, emb: jax.Array, queries: jax.Array, k: int):
     def scan_body(carry, xs):
         best_scores, best_idx = carry
         chunk, chunk_i = xs
-        scores = jnp.einsum("qd,cd->qc", queries, chunk).astype(jnp.float32)
+        scores = jnp.einsum("qd,cd->qc", queries, chunk,
+                            precision=precision).astype(jnp.float32)
         base = chunk_i * chunk_size
         idx = base + jnp.arange(chunk_size)[None, :]
         valid = idx < n
@@ -193,6 +217,8 @@ def _chunked_approx_topk(chunk_size: int, recall_target: float,
     def scan_body(carry, xs):
         best_scores, best_idx = carry
         chunk, chunk_i = xs
+        # default (bf16-input) matmul precision: this path is approximate
+        # by contract, and its recall is measured against the exact index
         scores = jnp.einsum("qd,cd->qc", queries, chunk).astype(jnp.float32)
         base = chunk_i * chunk_size
         idx = base + jnp.arange(chunk_size)[None, :]
@@ -254,7 +280,9 @@ class ShardedDenseIndex:
 
         def local_topk(emb_shard, q):
             # emb_shard: (rows, d) local; q: (Q, d) replicated
-            scores = jnp.einsum("qd,nd->qn", q, emb_shard).astype(jnp.float32)
+            scores = jnp.einsum("qd,nd->qn", q, emb_shard,
+                                precision=jax.lax.Precision.HIGHEST
+                                ).astype(jnp.float32)
             base = jax.lax.axis_index(axis) * rows
             idx = base + jnp.arange(rows)[None, :]
             scores = jnp.where(idx < n, scores, -jnp.inf)

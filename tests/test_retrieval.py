@@ -159,6 +159,18 @@ class TestDenseIndex:
         for i in range(9):
             np.testing.assert_allclose(sc_c[i], ref[i][ids_c[i]], rtol=1e-5)
 
+    def test_fast_method_matches_exact_on_cpu(self):
+        # "fast" only relaxes matmul precision, which is a TPU-hardware
+        # effect — on CPU both methods are f32, so results are identical;
+        # the TPU recall gap is measured in scripts/bench_retrieval.py
+        rng = np.random.default_rng(11)
+        emb = rng.normal(size=(2048, 16)).astype(np.float32)
+        q = rng.normal(size=(5, 16)).astype(np.float32)
+        ids_e, sc_e = DenseIndex(emb, method="exact").search(q, k=16)
+        ids_f, sc_f = DenseIndex(emb, method="fast").search(q, k=16)
+        np.testing.assert_array_equal(ids_e, ids_f)
+        np.testing.assert_allclose(sc_e, sc_f, rtol=1e-6)
+
     def test_approx_rejects_bad_method(self):
         with pytest.raises(ValueError):
             DenseIndex(np.zeros((4, 2), np.float32), method="fuzzy")
