@@ -136,7 +136,8 @@ def cmd_retrieve(args):
     tok = _tokenizer(args.tokenizer, style="bert")
     fn = rerank_stage if args.small_range else retrieve_stage
     kwargs = {} if args.small_range else {"n_docs": args.n_docs,
-                                          "sharded": args.sharded_index}
+                                          "sharded": args.sharded_index,
+                                          "index_method": args.index_method}
     out = fn(cfg, args.model_path, args.index, args.corpus,
              args.data, args.out, tok, **kwargs)
     print(json.dumps(out))
@@ -364,6 +365,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--out", nargs="+", required=True)
     t.add_argument("--tokenizer", required=True)
     t.add_argument("--n-docs", type=int, default=500)
+    t.add_argument("--index-method", default="exact",
+                   choices=["exact", "fast", "approx"],
+                   help="exact = faiss-parity f32 scores; fast = bf16 "
+                        "scores + exact top-k (recall 0.9966 measured, "
+                        "1.35-2.4x); approx = approx_max_k")
     t.add_argument("--small-range", action="store_true",
                    help="re-rank each example's existing candidates")
     t.add_argument("--sharded-index", action="store_true",

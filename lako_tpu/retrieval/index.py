@@ -135,11 +135,13 @@ class DenseIndex:
         (p / "meta.json").write_text(json.dumps({"n": self.n, "dim": self.dim}))
 
     @classmethod
-    def load(cls, dir_path: str, dtype=jnp.float32) -> "DenseIndex":
+    def load(cls, dir_path: str, dtype=jnp.float32, method: str = "exact",
+             recall_target: float = 0.95) -> "DenseIndex":
         p = Path(dir_path)
         emb = np.load(p / "embeddings.npy")
         ids = np.load(p / "ids.npy")
-        return cls(emb, ids, dtype=dtype)
+        return cls(emb, ids, dtype=dtype, method=method,
+                   recall_target=recall_target)
 
 
 def _chunked_topk(chunk_size: int, precision, emb: jax.Array,
