@@ -368,8 +368,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--index-method", default="exact",
                    choices=["exact", "fast", "approx"],
                    help="exact = faiss-parity f32 scores; fast = bf16 "
-                        "scores + exact top-k (recall 0.9966 measured, "
-                        "1.35-2.4x); approx = approx_max_k")
+                        "scores + exact top-k (recall 0.9966 measured); "
+                        "approx = approx_max_k (recall 0.9927)")
     t.add_argument("--small-range", action="store_true",
                    help="re-rank each example's existing candidates")
     t.add_argument("--sharded-index", action="store_true",

@@ -308,7 +308,7 @@ def retrieve_stage(
     """Full-corpus dense retrieval (reference fact_retrieval.py:124-211).
     ``sharded=True`` spreads the corpus over the mesh data axis (corpora larger
     than one chip's HBM). ``index_method``: "exact" (faiss-parity f32) |
-    "fast" (bf16 scores, recall 0.9966 measured, 1.35-2.4x) | "approx"
+    "fast" (bf16 scores, recall 0.9966 measured) | "approx"
     (retrieval/index.py docstring has the measured table)."""
     corpus = _load_json(corpus_path)
     id_to_sentence = {int(r["id"]): r["sentence"] for r in corpus}

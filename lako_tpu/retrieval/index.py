@@ -27,22 +27,24 @@ import numpy as np
 class DenseIndex:
     """Inner-product top-k over an embedding matrix kept on device.
 
-    Three methods, priced on the v5e at the reference scale (300,600 x 256,
-    k=500, 14k queries — scripts/bench_retrieval.py, artifacts/
-    retrieval_qps.json). End-to-end qps on the tunneled runtime varies
-    run-to-run (pulling 14k x 500 results to the host dominates); the
-    RECALL numbers are stable and are the load-bearing claims:
+    Three methods, measured on the v5e at the reference scale (300,600 x
+    256, k=500 — scripts/bench_retrieval.py, artifacts/retrieval_qps.json):
 
     - ``"exact"`` (default): f32 scores (Precision.HIGHEST) + exact
       ``lax.top_k`` — bit-faithful to the reference's FAISS ``IndexFlatIP``
-      (src/index.py:22-25), pinned against a numpy oracle. ~475-540 qps.
+      (src/index.py:22-25), pinned against a numpy oracle.
     - ``"fast"``: TPU-default (bf16-input) score matmul + exact top_k —
-      near-boundary ranks can flip vs f32: measured recall 0.9966,
-      1.35-2.4x exact's qps across runs. The right default for candidate
-      mining, where downstream rerank re-scores anyway.
+      near-boundary ranks can flip vs f32: measured recall 0.9966.
     - ``"approx"``: bf16 scores + ``lax.approx_max_k`` (partial-reduce
       TopK, arXiv 2206.14286) at ``recall_target``: measured recall
-      0.9927 at recall_target=0.95, 1.5-3.1x exact across runs.
+      0.9927 at recall_target=0.95.
+
+    Honest speed note: at this scale the wall time is dominated by top-k
+    selection and host result transfer, NOT the score matmul — measured
+    exact-vs-fast qps differences (1408 vs 1417 in one bench.py run,
+    474 vs 639 in a 14k-query run) are within the tunneled runtime's
+    run-to-run noise. The RECALL numbers are the stable claims; choose
+    "exact" unless a profile on the target runtime says otherwise.
     """
 
     def __init__(self, embeddings: np.ndarray, ids: Optional[np.ndarray] = None,
@@ -154,8 +156,8 @@ def _chunked_topk(chunk_size: int, precision, emb: jax.Array,
     (the TPU default truncates matmul inputs to bf16, which reorders
     near-boundary ranks vs faiss IndexFlatIP's f32 scores — caught by
     bench_retrieval's numpy oracle at k=500 with 2/500 flips; "exact" must
-    mean f32-exact), DEFAULT for method="fast" (2.4x the qps, measured
-    ~0.996+ recall vs exact).
+    mean f32-exact), DEFAULT for method="fast" (recall 0.9966 measured;
+    see the class docstring's honest speed note).
     """
     Q = queries.shape[0]
     n = emb.shape[0]
