@@ -45,6 +45,13 @@ def load_obj_tsv(
 
     if backend not in ("auto", "python", "native"):
         raise ValueError(f"unknown backend {backend!r}")
+    # Selective filters route to the Python loop on "auto": it checks
+    # img_id BEFORE any base64 decode and stops at topk kept rows, while
+    # the native decoder must decode every payload up front — for a small
+    # img_list over a 790 MB shard that is orders of magnitude more work
+    # than the filter-then-decode loop.
+    if backend == "auto" and img_list is not None:
+        backend = "python"
     if backend != "python":
         from lako_tpu.data import vision_native
 

@@ -205,13 +205,27 @@ def make_best_generate_fn(
         if collect_cross_scores:
             raise ValueError(
                 "cross-attention score capture requires greedy decode")
-        beam_ok = (engine_supported(model.config) and keep_tokens is None
-                   and kv_dtype == "native" and weights_dtype == "native")
+        # features NO beam path implements must fail loudly, not silently
+        # change semantics (keep_tokens) or memory behavior (int8 dtypes)
+        if keep_tokens is not None:
+            raise ValueError(
+                "keep_tokens (token elimination) is not supported with "
+                "beam search; use greedy decode or drop keep_tokens")
+        if kv_dtype != "native" or weights_dtype != "native":
+            raise ValueError(
+                "int8 decode dtypes are not supported with beam search "
+                "(native only)")
+        if early_exit or chunk_size is not None:
+            from lako_tpu.core.logging import get_logger
+
+            get_logger().warning(
+                "beam search ignores early_exit/chunk_size (greedy-only "
+                "knobs); decoding the full %d steps", max_length - 1)
+        beam_ok = engine_supported(model.config)
         if backend == "engine" and not beam_ok:
             raise ValueError(
                 "decode_backend='engine' but the beam engine does not "
-                "support this configuration (FiDO stride / keep_tokens / "
-                "int8 dtypes)")
+                "support this configuration (FiDO cross_attention_stride)")
         if backend != "flax" and beam_ok:
             from lako_tpu.models.t5.beam_engine import \
                 make_beam_engine_generate_fn

@@ -117,8 +117,12 @@ def build_schedule(S: int, M: int) -> Schedule:
     park_b = np.zeros((T, S), np.int32)
 
     def place(tbl_c, tbl_m, t, s, code, m):
-        assert tbl_c[t, s] == IDLE, (
-            f"schedule collision at tick {t} device {s}")
+        # a collision means wrong gradients, the worst training failure —
+        # raise (survives python -O, unlike assert)
+        if tbl_c[t, s] != IDLE:
+            raise RuntimeError(
+                f"1F1B schedule collision at tick {t} device {s} "
+                f"(S={S}, M={M}) — schedule construction bug")
         tbl_c[t, s] = code
         tbl_m[t, s] = m
 

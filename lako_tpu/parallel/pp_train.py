@@ -142,13 +142,18 @@ def fid_params_from_pp(pp: PPParams, cfg: T5Config):
     ]
 
     def blocks(names, n_layers):
+        # unstack each leaf ONCE (this runs per eval epoch under PP; a
+        # per-layer unstack would issue O(layers x leaves) reshapes on
+        # pipe-sharded arrays)
+        flat = [(group, sub, None if stacked is None else unstack(stacked))
+                for group, sub, stacked in names]
         out: Dict[str, Any] = {}
         for i in range(n_layers):
             blk: Dict[str, Any] = {}
-            for group, sub, stacked in names:
-                if stacked is None:
+            for group, sub, u in flat:
+                if u is None:
                     continue
-                leaf = unstack(stacked)[i]
+                leaf = u[i]
                 if sub is None:
                     blk[group] = {"weight": leaf}
                 else:
@@ -318,6 +323,12 @@ def make_pp_train_step(mesh: Mesh, cfg: T5Config, n_microbatches: int,
     if schedule not in ("gpipe", "1f1b"):
         raise ValueError(f"pp schedule must be gpipe|1f1b, got {schedule!r}")
     if schedule == "1f1b":
+        if not remat:
+            from lako_tpu.core.logging import get_logger
+
+            get_logger().warning(
+                "pp_schedule='1f1b' ignores remat=False: per-stage "
+                "recompute is built into the wavefront backward")
         from lako_tpu.parallel.pp_1f1b import make_pp_1f1b_loss_and_grads
 
         lg = make_pp_1f1b_loss_and_grads(mesh, cfg, n_microbatches,

@@ -159,10 +159,14 @@ def eval_reader_stage(
             raise ValueError("cross-attention score writing requires greedy decode")
         from lako_tpu.models.t5.decode import make_best_generate_fn
 
-        # ancestry-gather beam engine when supported, flax beam otherwise
+        # ancestry-gather beam engine when supported, flax beam otherwise;
+        # dtype/chunk knobs forwarded so unsupported combos fail loudly in
+        # the dispatcher instead of being silently dropped here
         generate_fn = make_best_generate_fn(
             model, max_length=cfg.eval_max_length, num_beams=num_beams,
-            backend=cfg.decode_backend)
+            backend=cfg.decode_backend, kv_dtype=cfg.decode_kv_dtype,
+            weights_dtype=cfg.decode_weights_dtype,
+            chunk_size=cfg.decode_chunk_size)
     elif collect:
         from lako_tpu.models.t5.decode import make_generate_and_score_fn
 
@@ -318,6 +322,11 @@ def retrieve_stage(
         from lako_tpu.core.mesh import make_mesh
         from lako_tpu.retrieval.index import ShardedDenseIndex
 
+        if index_method != "exact":
+            raise ValueError(
+                "index_method is not supported with sharded=True (the "
+                "sharded index is exact-f32 only); drop --index-method or "
+                "--sharded-index")
         base = DenseIndex.load(index_path)
         index = ShardedDenseIndex(_np.asarray(base._emb, _np.float32), make_mesh(),
                                   ids=base.ids)

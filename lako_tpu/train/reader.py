@@ -188,7 +188,10 @@ def train_reader(
         init_params = variables["params"]
     use_pp = cfg.mesh.pipe > 1
     best_dev_em, step = 0.0, 0
-    if resume_from is not None:
+    # PP full resume (params + optimizer) reads the checkpoint ONCE inside
+    # the PP branch below, where the placed optimizer state provides the
+    # deserialization template; every other resume shape loads here.
+    if resume_from is not None and not (use_pp and not reset_params):
         opt_template = (tx.init(init_params)
                         if not (reset_params or use_pp) else None)
         params, opt_state, meta = load_checkpoint(resume_from, init_params,
@@ -225,8 +228,15 @@ def train_reader(
             pipe_axis=cfg.mesh.pipe_axis)
         state = TrainState.create(pp, tx)
         if resume_from is not None and not reset_params:
-            _, pp_opt, meta = load_checkpoint(resume_from, init_params,
-                                              state.opt_state)
+            # one checkpoint read for params AND optimizer (the fresh
+            # placed state above is the opt deserialization template);
+            # loaded weights then replace the fresh pp
+            params, pp_opt, meta = load_checkpoint(resume_from, init_params,
+                                                   state.opt_state)
+            pp = place_pp_params(
+                mesh, pp_params_from_fid(params, t5_cfg, cfg.mesh.pipe),
+                pipe_axis=cfg.mesh.pipe_axis)
+            state = state.replace(params=pp)
             if pp_opt is not None:
                 # param-derived leaves keep their 1/S pipe placement; fresh
                 # scalars in the template (schedule counts etc.) are
