@@ -254,6 +254,37 @@ def test_make_optimizer_routes_adamw8bit():
     assert losses[-1] < 0.1 * losses[0]
 
 
+def test_adamw8bit_composes_with_pipeline_parallelism():
+    """adamw8bit under the PP layout: the blocked int8 moments of the
+    pipe-sharded stacks train to a falling loss and their state stays
+    sharded (not silently gathered to every device)."""
+    from tests.test_pp_train import _pipe_mesh, _setup
+    from lako_tpu.parallel.pp_train import (make_pp_train_step,
+                                            place_pp_params,
+                                            pp_params_from_fid)
+    from lako_tpu.train.state import TrainState
+
+    cfg, model, params, ids, mask, labels = _setup()
+    mesh = _pipe_mesh(pipe=2, data=2)
+    pp = place_pp_params(mesh, pp_params_from_fid(params, cfg, 2))
+    tx = make_optimizer(OptimConfig(optim="adamw8bit", lr=1e-3,
+                                    total_steps=100, warmup_steps=0))
+    state = TrainState.create(pp, tx)
+    step = make_pp_train_step(mesh, cfg, n_microbatches=2, data_axis="data")
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, ids, mask, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    int8s = [x for x in jax.tree_util.tree_leaves(state.opt_state)
+             if hasattr(x, "dtype") and x.dtype in (jnp.int8, jnp.uint8)]
+    assert int8s, "8-bit moments missing from the PP optimizer state"
+    # at least the large block-stack moments must not be fully replicated
+    big = max(int8s, key=lambda x: x.size)
+    shard_bytes = max(s.data.size for s in big.addressable_shards)
+    assert shard_bytes < big.size, "8-bit PP moment state got replicated"
+
+
 def test_reader_trains_with_adamw8bit():
     """End to end: ReaderTrainConfig(optim='adamw8bit') through train_reader
     — the state also flows through checkpoint serialization shapes."""
