@@ -246,7 +246,8 @@ def cmd_serve(args):
                       decode_kv_dtype=cfg.decode_kv_dtype,
                       decode_weights_dtype=cfg.decode_weights_dtype,
                       decode_chunk_size=cfg.decode_chunk_size,
-                      batch_window_ms=args.batch_window_ms),
+                      batch_window_ms=args.batch_window_ms,
+                      mesh_model=args.mesh_model),
         t5_cfg, params, tok,
         retriever=retriever, retriever_params=retriever_params,
         bert_tokenizer=btok, index=index, id_to_sentence=id_to_sentence,
@@ -418,6 +419,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-window-ms", type=float, default=0.0,
                    help="dynamic micro-batching window (0 = off): concurrent "
                         "requests within the window share one device batch")
+    t.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel width for big-model serving "
+                        "(t5-3b+); params committed with Megatron specs, "
+                        "GSPMD partitions the whole decode")
     t.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("truncate-data", help="keep the first K examples of a JSON dataset")

@@ -49,6 +49,13 @@ class ServiceConfig:
     # across independent clients; single-request latency gains at most the
     # window. 0 disables (each request is its own batch).
     batch_window_ms: float = 0.0
+    # Tensor-parallel width for big-model serving (t5-3b+: the cross-KV
+    # alone outgrows one chip at serving batch sizes). Params are committed
+    # with the Megatron specs and the batch rides the data axis; GSPMD
+    # partitions the whole decode (tests/test_engine_tp.py pins
+    # token-for-token equality with single-device). devices must be
+    # divisible by mesh_model, and batch_size by devices/mesh_model.
+    mesh_model: int = 1
 
 
 class LakoService:
@@ -68,6 +75,27 @@ class LakoService:
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self.model = FiDT5(t5_config, dtype=dtype)
         self.params = reader_params
+        self._batch_sharding = None
+        if cfg.mesh_model > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from lako_tpu.parallel.sharding import make_param_shardings
+
+            n_dev = len(jax.devices())
+            if n_dev % cfg.mesh_model:
+                raise ValueError(
+                    f"mesh_model={cfg.mesh_model} does not divide "
+                    f"{n_dev} devices")
+            data_par = n_dev // cfg.mesh_model
+            if cfg.batch_size % data_par:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} not divisible by the "
+                    f"data axis ({data_par})")
+            mesh = Mesh(np.asarray(jax.devices()).reshape(
+                data_par, cfg.mesh_model), ("data", "model"))
+            self.params = jax.device_put(
+                reader_params, make_param_shardings(mesh, reader_params))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self.tokenizer = tokenizer
         self.collator = ReaderCollator(cfg.data, tokenizer)
         from lako_tpu.models.t5.decode import make_best_generate_fn
@@ -145,9 +173,12 @@ class LakoService:
         for s in range(0, len(examples), B):
             chunk = [ds[i] for i in range(s, min(s + B, len(examples)))]
             batch = collator(chunk, pad_to=B)
-            tokens, _ = self._generate(self.params,
-                                       jnp.asarray(batch.passage_ids),
-                                       jnp.asarray(batch.passage_mask))
+            ids = jnp.asarray(batch.passage_ids)
+            pmask = jnp.asarray(batch.passage_mask)
+            if self._batch_sharding is not None:
+                ids = jax.device_put(ids, self._batch_sharding)
+                pmask = jax.device_put(pmask, self._batch_sharding)
+            tokens, _ = self._generate(self.params, ids, pmask)
             decoded = self.tokenizer.batch_decode(np.asarray(tokens))
             for k, item in enumerate(chunk):
                 results.append({

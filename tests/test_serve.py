@@ -232,3 +232,38 @@ def test_submit_many_returns_per_item_errors(service):
     assert len(out) == 3
     assert "answer" in out[0] and "answer" in out[2]
     assert "error" in out[1] and out[1]["index"] == 1
+
+
+def test_tp_service_matches_single_device():
+    """mesh_model=2: params committed with Megatron specs, batch on the
+    data axis — answers must equal the unsharded service's exactly
+    (requires the 8-device CPU mesh from conftest)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    tok = make_tokenizer()
+    t5 = T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
+                  num_layers=1, num_decoder_layers=1, num_heads=2,
+                  relative_attention_num_buckets=8, dropout_rate=0.0)
+    data_cfg = ReaderDataConfig(n_context=2, text_maxlength=24,
+                                answer_maxlength=4, stream=2)
+    model = FiDT5(t5)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 24), jnp.int32),
+                        jnp.ones((1, 2, 24), bool),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    reqs = [{"question": f"is item {i} on",
+             "fact": [{"sentence": "items toggle.", "id": 0, "score": 1.0}]}
+            for i in range(4)]
+
+    def build(mesh_model):
+        cfg = ServiceConfig(batch_size=4, max_length=4, n_context=2,
+                            data=data_cfg, dtype="float32",
+                            mesh_model=mesh_model)
+        return LakoService(cfg, t5, params, tok)
+
+    plain = build(1).answer_batch(reqs)
+    tp = build(2).answer_batch(reqs)
+    assert [r["answer"] for r in tp] == [r["answer"] for r in plain]
+
+    with pytest.raises(ValueError):
+        build(3)    # 8 devices not divisible by 3
