@@ -317,6 +317,10 @@ class ReaderTrainConfig(_ConfigBase):
     # the knob exists for deeper models / longer sequences.
     remat_policy: Optional[str] = None
     dtype: str = "bfloat16"
+    # Capture an XLA/TPU trace of a few steady-state train steps (after the
+    # compile step) into this directory — viewable in TensorBoard/xprof
+    # (core/profiling.py). None = off.
+    profile_dir: Optional[str] = None
     # Decode backend for eval: "auto" uses the stacked scan-over-layers engine
     # (models/t5/engine.py) whenever the model supports it, "flax" forces the
     # layer-unrolled path, "engine" requires the engine (errors if unsupported).

@@ -288,6 +288,10 @@ def train_reader(
     history: List[Dict[str, float]] = []
     ckpt_dir = f"{cfg.checkpoint_dir}/{cfg.name}"
     epoch = 0
+    # profile_dir: trace steps 3-5 of the run (past the compile step) into
+    # an xprof/TensorBoard trace (core/profiling.py)
+    trace_pending = cfg.profile_dir is not None
+    trace_active = False
     for epoch in range(1, cfg.epochs + 1):
         t0 = time.time()
         losses = []
@@ -295,6 +299,9 @@ def train_reader(
             train_ds, global_batch, collator,
             shuffle=True, seed=cfg.seed + epoch, drop_last=True, prefetch=2,
         ):
+            if trace_pending and step == 2:
+                jax.profiler.start_trace(cfg.profile_dir)
+                trace_pending, trace_active = False, True
             sharded = shard_batch(mesh, {
                 "ids": batch.passage_ids, "mask": batch.passage_mask,
                 "labels": batch.labels,
@@ -303,6 +310,10 @@ def train_reader(
                                      sharded["labels"], rng)
             losses.append(loss)
             step += 1
+            if trace_active and step >= 5:
+                loss.block_until_ready()
+                jax.profiler.stop_trace()
+                trace_active = False
             if preemption.preempted():
                 preemption.handle_preemption(lambda: save_checkpoint(
                     ckpt_dir, "preempted", *to_ckpt(state),
@@ -335,4 +346,6 @@ def train_reader(
             logger.info("early stop in epoch %d", epoch)
             break
 
+    if trace_active:   # run shorter than 5 steps: close the trace cleanly
+        jax.profiler.stop_trace()
     return ReaderTrainResult(best_dev_em, step, epoch, history, state)

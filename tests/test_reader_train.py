@@ -85,3 +85,30 @@ def test_train_reader_overfits_fixture(tmp_path):
     # checkpoint written with best/latest semantics
     assert (tmp_path / "smoke" / "checkpoint" / "best_dev" / "params.msgpack").exists()
     assert (tmp_path / "smoke" / "checkpoint" / "latest").exists()
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """profile_dir traces steps 3-5 into an xprof directory (files exist),
+    and training results are unaffected."""
+    exs = [{"question": f"is item {i} on", "target": "yes" if i % 2 else "no",
+            "answer": {"yes" if i % 2 else "no": 1.0}, "caption": "a board.",
+            "fact": [{"sentence": "items toggle.", "id": 0}]}
+           for i in range(16)]
+    from lako_tpu.text.tokenizer import WordVocabTokenizer
+
+    tok = WordVocabTokenizer.build(
+        [e["question"] for e in exs]
+        + ["yes no a board. items toggle. question: context: fact:"])
+    cfg = ReaderTrainConfig.from_dict({
+        "model_size": "tiny", "per_device_batch_size": 1, "eval_batch_size": 8,
+        "epochs": 4, "early_stop": 9, "eval_max_length": 4,
+        "use_remat": False, "dtype": "float32",
+        "profile_dir": str(tmp_path / "trace"),
+        "data": {"n_context": 1, "text_maxlength": 16, "answer_maxlength": 4,
+                 "stream": 2},
+        "optim": {"optim": "adamw", "lr": 3e-3},
+        "checkpoint_dir": "/tmp/unused", "name": "prof"})
+    res = train_reader(cfg, exs, exs[:8], tok, save_checkpoints=False)
+    assert res.final_step >= 5
+    files = list((tmp_path / "trace").rglob("*"))
+    assert any(f.is_file() for f in files), "no trace files captured"
