@@ -134,6 +134,19 @@ def test_full_pipeline_stages(workdir, capsys):
     assert all(len(ex["fact"]) == 4 for ex in retrieved)
     assert all("score" in ex["fact"][0] for ex in retrieved)
 
+    # 5a'. --index-method fast must agree with exact on CPU (both f32 here;
+    # the knob's TPU recall tradeoff is measured in scripts/bench_retrieval)
+    cli_main(["retrieve", "--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt, "--index", str(wd / "index"),
+              "--corpus", str(wd / "corpus.json"),
+              "--data", str(wd / "eval.json"),
+              "--out", str(wd / "eval_retrieved_fast.json"),
+              "--tokenizer", str(wd / "btok.json"), "--n-docs", "4",
+              "--index-method", "fast"])
+    fast = json.loads((wd / "eval_retrieved_fast.json").read_text())
+    assert [[f["id"] for f in ex["fact"]] for ex in fast] == \
+        [[f["id"] for f in ex["fact"]] for ex in retrieved]
+
     # 5b. small-range re-rank
     cli_main(["retrieve", "--small-range",
               "--config", str(wd / "retriever_cfg.json"),
