@@ -322,14 +322,14 @@ def retrieve_stage(
         from lako_tpu.core.mesh import make_mesh
         from lako_tpu.retrieval.index import ShardedDenseIndex
 
-        if index_method != "exact":
+        if index_method == "approx":
             raise ValueError(
-                "index_method is not supported with sharded=True (the "
-                "sharded index is exact-f32 only); drop --index-method or "
-                "--sharded-index")
+                "index_method='approx' is not supported with sharded=True "
+                "(approx_max_k's per-shard recall is not characterized "
+                "under the shard merge); use exact or fast")
         base = DenseIndex.load(index_path)
         index = ShardedDenseIndex(_np.asarray(base._emb, _np.float32), make_mesh(),
-                                  ids=base.ids)
+                                  ids=base.ids, method=index_method)
     else:
         index = DenseIndex.load(index_path, method=index_method)
     model, params = _load_retriever(retriever_cfg, model_path)

@@ -256,10 +256,16 @@ class ShardedDenseIndex:
 
     def __init__(self, embeddings: np.ndarray, mesh,
                  ids: Optional[np.ndarray] = None, axis: str = "data",
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, method: str = "exact"):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if method not in ("exact", "fast"):
+            raise ValueError(
+                f"method must be exact|fast for the sharded index, got "
+                f"{method!r} (approx_max_k's per-shard recall is not "
+                f"characterized under the merge)")
         n, d = embeddings.shape
+        self.method = method
         self.mesh, self.axis = mesh, axis
         n_dev = mesh.shape[axis]
         pad = (-n) % n_dev
@@ -282,11 +288,13 @@ class ShardedDenseIndex:
         rows = self._shard_rows
         n = self.n
 
+        prec = (jax.lax.Precision.HIGHEST if self.method == "exact"
+                else jax.lax.Precision.DEFAULT)
+
         def local_topk(emb_shard, q):
             # emb_shard: (rows, d) local; q: (Q, d) replicated
             scores = jnp.einsum("qd,nd->qn", q, emb_shard,
-                                precision=jax.lax.Precision.HIGHEST
-                                ).astype(jnp.float32)
+                                precision=prec).astype(jnp.float32)
             base = jax.lax.axis_index(axis) * rows
             idx = base + jnp.arange(rows)[None, :]
             scores = jnp.where(idx < n, scores, -jnp.inf)
