@@ -337,6 +337,10 @@ class ReaderTrainConfig(_ConfigBase):
     # Steps per device call for chunked early-exit decode (None = one call for
     # the whole max_length; small values exit early on short answers).
     decode_chunk_size: Optional[int] = None
+    # Beam-engine self-KV formulation: "allslots" (default, measured fastest)
+    # | "gather" (+1.5% on chip, token flips at bf16 near-ties) | "flat".
+    # Greedy decode ignores it (models/t5/beam_engine.py A/B).
+    decode_self_attn_impl: str = "allslots"
     # Microbatches per step under pipeline parallelism (mesh.pipe > 1);
     # GPipe bubble fraction is (pipe-1)/(microbatches+pipe-1), so use
     # several x pipe for real runs.

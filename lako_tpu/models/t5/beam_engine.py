@@ -411,10 +411,16 @@ class BeamEngine:
 def make_beam_engine_generate_fn(model, max_length: int = 50,
                                  num_beams: int = 4,
                                  length_penalty: float = 1.0,
-                                 layer_unroll: Optional[int] = None):
-    """Drop-in replacement for beam.make_beam_generate_fn on the engine."""
+                                 layer_unroll: Optional[int] = None,
+                                 self_attn_impl: str = "allslots"):
+    """Drop-in replacement for beam.make_beam_generate_fn on the engine.
+
+    ``self_attn_impl``: allslots (default) | gather | flat — the measured A/B
+    in the BeamEngine docstring; reachable from configs via
+    ReaderTrainConfig.decode_self_attn_impl."""
     eng = BeamEngine(model, max_length=max_length, num_beams=num_beams,
-                     length_penalty=length_penalty, layer_unroll=layer_unroll)
+                     length_penalty=length_penalty, layer_unroll=layer_unroll,
+                     self_attn_impl=self_attn_impl)
 
     def fn(params, input_ids, mask):
         return eng.generate(params, input_ids, mask)

@@ -19,9 +19,17 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from lako_tpu.core.program_cache import cached_program, dtype_key
 from lako_tpu.models.t5.model import FiDT5
 
 Array = jax.Array
+
+
+def _model_key(model: FiDT5) -> tuple:
+    """Static identity of a FiDT5 module for program caching: two instances
+    with equal fields trace to the same program."""
+    return (model.config, dtype_key(model.dtype), model.use_remat,
+            model.remat_policy)
 
 
 def _embed_tokens(mdl: FiDT5, tokens: Array) -> Array:
@@ -169,17 +177,27 @@ def make_generate_fn(
     model: FiDT5, max_length: int = 50, collect_cross_scores: bool = False,
     early_exit: bool = False, keep_tokens=None,
 ) -> Callable:
-    """Jit-compiled (params, input_ids, mask) → (tokens, cross_logits|None)."""
+    """Jit-compiled (params, input_ids, mask) → (tokens, cross_logits|None).
 
-    @jax.jit
-    def fn(params, input_ids, mask):
-        return greedy_generate(
-            model, params, input_ids, mask,
-            max_length=max_length, collect_cross_scores=collect_cross_scores,
-            early_exit=early_exit, keep_tokens=keep_tokens,
-        )
+    Process-cached by (model identity, knobs): repeated stage invocations with
+    equal configs reuse the same jitted callable, so XLA's compile cache hits
+    instead of retracing (core/program_cache.py)."""
 
-    return fn
+    def build():
+        @jax.jit
+        def fn(params, input_ids, mask):
+            return greedy_generate(
+                model, params, input_ids, mask,
+                max_length=max_length,
+                collect_cross_scores=collect_cross_scores,
+                early_exit=early_exit, keep_tokens=keep_tokens,
+            )
+
+        return fn
+
+    return cached_program(
+        ("flax_generate", _model_key(model), max_length, collect_cross_scores,
+         early_exit, keep_tokens), build)
 
 
 def make_best_generate_fn(
@@ -187,6 +205,7 @@ def make_best_generate_fn(
     keep_tokens=None, backend: str = "auto", kv_dtype: str = "native",
     weights_dtype: str = "native", chunk_size=None, early_exit: bool = False,
     num_beams: int = 1, length_penalty: float = 1.0,
+    self_attn_impl: str = "allslots",
 ) -> Callable:
     """Backend dispatcher: the stacked scan-over-layers engine
     (models/t5/engine.py greedy, beam_engine.py beam — the fast paths) when
@@ -197,8 +216,29 @@ def make_best_generate_fn(
     early-exit use case with chunk_size instead. ``num_beams > 1`` selects
     beam search (reference surface: src/model.py:54-60 via HF generate);
     cross-attention score capture requires greedy, matching the reference's
-    scoring pipeline.
+    scoring pipeline. ``self_attn_impl`` selects the beam engine's self-KV
+    formulation (allslots | gather | flat; beam_engine.py's measured A/B —
+    greedy paths ignore it).
+
+    Returned callables are process-cached by (model identity, knobs) so
+    repeated stage invocations reuse compiled programs (program_cache.py).
     """
+    key = ("best_generate", _model_key(model), max_length,
+           collect_cross_scores, keep_tokens, backend, kv_dtype,
+           weights_dtype, chunk_size, early_exit, num_beams, length_penalty,
+           self_attn_impl)
+    return cached_program(key, lambda: _build_best_generate_fn(
+        model, max_length, collect_cross_scores, keep_tokens, backend,
+        kv_dtype, weights_dtype, chunk_size, early_exit, num_beams,
+        length_penalty, self_attn_impl))
+
+
+def _build_best_generate_fn(
+    model: FiDT5, max_length: int, collect_cross_scores: bool,
+    keep_tokens, backend: str, kv_dtype: str, weights_dtype: str,
+    chunk_size, early_exit: bool, num_beams: int, length_penalty: float,
+    self_attn_impl: str,
+) -> Callable:
     from lako_tpu.models.t5.engine import engine_supported, make_engine_generate_fn
 
     if num_beams > 1:
@@ -232,8 +272,14 @@ def make_best_generate_fn(
 
             beam_fn = make_beam_engine_generate_fn(
                 model, max_length=max_length, num_beams=num_beams,
-                length_penalty=length_penalty)
+                length_penalty=length_penalty,
+                self_attn_impl=self_attn_impl)
         else:
+            if self_attn_impl != "allslots":
+                raise ValueError(
+                    f"self_attn_impl={self_attn_impl!r} is a beam-engine "
+                    "knob; the flax beam path has no equivalent — drop it "
+                    "or use backend='engine'")
             from lako_tpu.models.t5.beam import make_beam_generate_fn
 
             beam_fn = make_beam_generate_fn(
@@ -241,6 +287,12 @@ def make_best_generate_fn(
                 length_penalty=length_penalty)
         return lambda params, ids, mask: (beam_fn(params, ids, mask), None)
 
+    if self_attn_impl != "allslots":
+        from lako_tpu.core.logging import get_logger
+
+        get_logger().warning(
+            "self_attn_impl=%r only affects beam search (num_beams>1); "
+            "greedy decode ignores it", self_attn_impl)
     engine_ok = (engine_supported(model.config) and keep_tokens is None
                  and not early_exit)
     if backend == "engine" and not engine_ok:
@@ -268,7 +320,17 @@ def make_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int = 50,
     Only the tokens and n_context floats per example cross the host boundary —
     the (B, layers, heads, N·L) logits never leave the chip. This is the fast
     path for the attention-generate stage. Dispatches to the scan-over-layers
-    engine like :func:`make_best_generate_fn`."""
+    engine like :func:`make_best_generate_fn`; process-cached the same way."""
+    key = ("generate_and_score", _model_key(model), signal_cfg, max_length,
+           backend, kv_dtype, weights_dtype, chunk_size)
+    return cached_program(key, lambda: _build_generate_and_score_fn(
+        model, signal_cfg, max_length, backend, kv_dtype, weights_dtype,
+        chunk_size))
+
+
+def _build_generate_and_score_fn(model: FiDT5, signal_cfg, max_length: int,
+                                 backend: str, kv_dtype: str,
+                                 weights_dtype: str, chunk_size) -> Callable:
     from lako_tpu.models.t5.engine import engine_supported
     from lako_tpu.signal.aggregate import aggregate_fact_scores_device
 

@@ -455,6 +455,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--attention-score-style", default="mean")
     t.add_argument("--ans-attention", action="store_true")
     t.add_argument("--use-last-half-layer-attention", action="store_true")
+    t.add_argument("--fact-ablation", action="store_true",
+                   help="per iteration, also evaluate the reader with "
+                        "shuffled facts (fact-sensitivity diagnostic; one "
+                        "extra eval pass)")
     t.set_defaults(fn=cmd_full_loop)
 
     return p

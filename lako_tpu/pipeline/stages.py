@@ -166,7 +166,8 @@ def eval_reader_stage(
             model, max_length=cfg.eval_max_length, num_beams=num_beams,
             backend=cfg.decode_backend, kv_dtype=cfg.decode_kv_dtype,
             weights_dtype=cfg.decode_weights_dtype,
-            chunk_size=cfg.decode_chunk_size)
+            chunk_size=cfg.decode_chunk_size,
+            self_attn_impl=cfg.decode_self_attn_impl)
     elif collect:
         from lako_tpu.models.t5.decode import make_generate_and_score_fn
 
@@ -266,6 +267,40 @@ def train_retriever_stage(
             "history": result.history}
 
 
+def eval_retriever_stage(
+    cfg: RetrieverTrainConfig,
+    data_path: str,
+    model_path: str,
+    tokenizer,
+) -> Dict[str, Any]:
+    """Standalone retriever ranking eval (inversions + top-k overlap,
+    reference evaluation.py:200-229) of a CHECKPOINT on a scored data file.
+
+    Exists so the full loop can compare retrievers across iterations against
+    the SAME gold order: iteration N's inversions during training are scored
+    against iteration N's reader attention, so the raw numbers are not
+    comparable across N (each iteration's reader defines a different gold) —
+    evaluating every iteration's retriever on iteration 1's scored file is.
+    """
+    from lako_tpu.core.config import ReaderDataConfig
+    from lako_tpu.data import RetrieverCollator
+    from lako_tpu.train.retriever import (evaluate_retriever,
+                                          make_retriever_score_fn,
+                                          sort_facts_by_gold)
+
+    examples = _load_json(data_path)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model, params = _load_retriever(cfg.retriever, model_path, dtype=dtype)
+    ds = ReaderDataset(sort_facts_by_gold(examples),
+                       ReaderDataConfig(n_context=cfg.n_context), seed=cfg.seed)
+    collator = RetrieverCollator(
+        tokenizer, cfg.n_context,
+        cfg.retriever.question_maxlength, cfg.retriever.passage_maxlength)
+    score_fn = make_retriever_score_fn(model)
+    return evaluate_retriever(score_fn, params, ds, collator,
+                              cfg.eval_batch_size)
+
+
 def _load_retriever(cfg: RetrieverConfig, model_path: str, dtype=jnp.float32):
     model = Retriever(cfg, dtype=dtype)
     template = model.init(
@@ -284,10 +319,11 @@ def embed_facts_stage(
     out_path: str,
     tokenizer,
     batch_size: int = 512,
-    maxlength: int = 100,
+    maxlength: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Embed the whole KG corpus (reference generate_fact_embeddings.py:64-125);
-    output is a DenseIndex directory instead of a pickle."""
+    output is a DenseIndex directory instead of a pickle. ``maxlength``
+    defaults to the retriever's trained passage_maxlength (embed.py)."""
     corpus = _load_json(corpus_path)
     model, params = _load_retriever(retriever_cfg, model_path)
     ids, emb = embed_corpus(model, params, corpus, tokenizer,
@@ -316,6 +352,11 @@ def retrieve_stage(
     (retrieval/index.py docstring has the measured table)."""
     corpus = _load_json(corpus_path)
     id_to_sentence = {int(r["id"]): r["sentence"] for r in corpus}
+    if n_docs > len(corpus):
+        get_logger().warning(
+            "retrieve: n_docs=%d > corpus size %d; retrieving every fact",
+            n_docs, len(corpus))
+        n_docs = len(corpus)
     if sharded:
         import numpy as _np
 

@@ -7,7 +7,7 @@ corpus; returns float32 numpy arrays ready for :class:`DenseIndex`.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,17 +18,42 @@ from lako_tpu.models.retriever import Retriever
 
 
 def make_embed_fn(model: Retriever, text_type: str = "f") -> Callable:
-    @jax.jit
-    def embed(params, ids, mask):
-        return model.apply(
-            {"params": params}, ids, mask, text_type,
-            apply_mask=model.config.apply_passage_mask if text_type == "f"
-            else model.config.apply_question_mask,
-            extract_cls=model.config.extract_cls,
-            method=Retriever.embed_text,
-        )
+    """Process-cached by (retriever identity, text_type): repeated
+    embed-facts / retrieve stage invocations reuse the compiled program
+    (core/program_cache.py)."""
+    from lako_tpu.core.program_cache import cached_program, dtype_key
 
-    return embed
+    def build():
+        @jax.jit
+        def embed(params, ids, mask):
+            return model.apply(
+                {"params": params}, ids, mask, text_type,
+                apply_mask=model.config.apply_passage_mask if text_type == "f"
+                else model.config.apply_question_mask,
+                extract_cls=model.config.extract_cls,
+                method=Retriever.embed_text,
+            )
+
+        return embed
+
+    return cached_program(
+        ("retriever_embed", model.config, dtype_key(model.dtype), text_type),
+        build)
+
+
+def _check_finite(emb: np.ndarray, what: str) -> None:
+    """NaN embeddings make every downstream score NaN, and NaN scores make
+    argsort a silent no-op — the round-4 root cause of the full loop's
+    re-rank doing nothing (tokenizing past the BERT's position table turned
+    the whole embedding matrix NaN without a single error). Fail here, at
+    the source, with a diagnosis."""
+    if not np.isfinite(emb).all():
+        raise FloatingPointError(
+            f"{what} embeddings contain non-finite values "
+            f"({np.isnan(emb).sum()} NaN / {np.isinf(emb).sum()} inf of "
+            f"{emb.size}). Common cause: maxlength exceeds the retriever's "
+            f"bert.max_position_embeddings (out-of-range position lookup "
+            f"fills with NaN).")
 
 
 def embed_corpus(
@@ -37,9 +62,15 @@ def embed_corpus(
     sentences: Sequence[dict],   # [{"sentence": str, "id": int}]
     tokenizer,
     batch_size: int = 512,
-    maxlength: int = 100,
+    maxlength: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (ids (n,), embeddings (n, dim) float32) in input order."""
+    """Returns (ids (n,), embeddings (n, dim) float32) in input order.
+
+    ``maxlength`` defaults to the retriever's ``passage_maxlength`` — the
+    length it was TRAINED at (embedding at a different length is both a
+    train/inference mismatch and, past the position table, NaN)."""
+    if maxlength is None:
+        maxlength = model.config.passage_maxlength
     collator = TextCollator(tokenizer, maxlength=maxlength)
     embed = make_embed_fn(model, "f")
     all_ids: List[np.ndarray] = []
@@ -51,7 +82,9 @@ def embed_corpus(
         emb = np.asarray(emb, dtype=np.float32)[: len(chunk)]
         all_ids.append(fact_ids[: len(chunk)])
         all_emb.append(emb)
-    return np.concatenate(all_ids), np.concatenate(all_emb)
+    out_ids, out_emb = np.concatenate(all_ids), np.concatenate(all_emb)
+    _check_finite(out_emb, "corpus")
+    return out_ids, out_emb
 
 
 def embed_questions(
@@ -60,10 +93,15 @@ def embed_questions(
     examples: Sequence[dict],    # reader-format: {"question", "caption", ...}
     tokenizer,
     batch_size: int = 512,
-    maxlength: int = 130,
+    maxlength: Optional[int] = None,
 ) -> np.ndarray:
     """Question+caption embeddings (reference prepends no prefix here —
-    fact_retrieval.py embeds ``question + " " + caption``)."""
+    fact_retrieval.py embeds ``question + " " + caption``).
+
+    ``maxlength`` defaults to the retriever's ``question_maxlength`` (the
+    training length — see embed_corpus)."""
+    if maxlength is None:
+        maxlength = model.config.question_maxlength
     embed = make_embed_fn(model, "q")
     out: List[np.ndarray] = []
     for s in range(0, len(examples), batch_size):
@@ -76,4 +114,6 @@ def embed_questions(
             mask = np.pad(mask, ((0, pad), (0, 0)))
         emb = embed(params, jnp.asarray(ids), jnp.asarray(mask))
         out.append(np.asarray(emb, dtype=np.float32)[: len(chunk)])
-    return np.concatenate(out)
+    q_emb = np.concatenate(out)
+    _check_finite(q_emb, "question")
+    return q_emb

@@ -54,6 +54,12 @@ class DenseIndex:
         if method not in ("exact", "fast", "approx"):
             raise ValueError(
                 f"method must be exact|fast|approx, got {method!r}")
+        if not np.isfinite(np.asarray(embeddings)).all():
+            # NaN scores make argsort/top_k silent no-ops downstream —
+            # refuse the corpus at construction with a diagnosable error
+            raise FloatingPointError(
+                "index embeddings contain non-finite values; re-embed the "
+                "corpus (see retrieval/embed.py's finite check)")
         self.n, self.dim = n, d
         self.ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids)
         assert len(self.ids) == n
@@ -61,14 +67,8 @@ class DenseIndex:
         self.method = method
         self.recall_target = float(recall_target)
         self._emb = jax.device_put(jnp.asarray(embeddings, dtype=dtype))
-        if method == "approx":
-            topk = functools.partial(_chunked_approx_topk, self.chunk_size,
-                                     self.recall_target)
-        else:
-            prec = (jax.lax.Precision.HIGHEST if method == "exact"
-                    else jax.lax.Precision.DEFAULT)
-            topk = functools.partial(_chunked_topk, self.chunk_size, prec)
-        self._search = jax.jit(topk, static_argnums=(2,))
+        self._search = _cached_search_program(self.chunk_size, method,
+                                              self.recall_target)
         # id → embedding-row lookup, built lazily on first rerank (identity
         # when ids are positional, the common case)
         self._id_to_row: Optional[dict] = None
@@ -93,8 +93,13 @@ class DenseIndex:
     def search(self, queries: np.ndarray, k: int,
                batch_size: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, d) queries → (ids (Q, k) int64, scores (Q, k) float32),
-        sorted by score descending (reference search_knn, src/index.py:37-50)."""
-        k = min(k, self.n)
+        sorted by score descending (reference search_knn, src/index.py:37-50).
+
+        ``k`` must not exceed the corpus size: one explicit error for every
+        method, instead of per-path clamping that would make the output width
+        depend on method and corpus size (faiss pads with -1 ids here, which
+        downstream add_facts would mis-treat as a real fact id)."""
+        _validate_k(k, self.n)
         out_ids, out_scores = [], []
         for s in range(0, len(queries), batch_size):
             q = jnp.asarray(queries[s : s + batch_size], dtype=self._emb.dtype)
@@ -144,6 +149,35 @@ class DenseIndex:
         ids = np.load(p / "ids.npy")
         return cls(emb, ids, dtype=dtype, method=method,
                    recall_target=recall_target)
+
+
+def _validate_k(k: int, n: int) -> None:
+    if k > n:
+        raise ValueError(
+            f"k={k} exceeds the corpus size ({n}); retrieval cannot return "
+            f"more facts than exist — pass k <= {n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def _cached_search_program(chunk_size: int, method: str, recall_target: float):
+    """One jitted streaming-top-k program per (chunk_size, method,
+    recall_target) — fresh DenseIndex instances (each full-loop iteration
+    builds one) reuse the compiled search instead of retracing."""
+    from lako_tpu.core.program_cache import cached_program
+
+    def build():
+        if method == "approx":
+            topk = functools.partial(_chunked_approx_topk, chunk_size,
+                                     recall_target)
+        else:
+            prec = (jax.lax.Precision.HIGHEST if method == "exact"
+                    else jax.lax.Precision.DEFAULT)
+            topk = functools.partial(_chunked_topk, chunk_size, prec)
+        return jax.jit(topk, static_argnums=(2,))
+
+    return cached_program(("dense_search", chunk_size, method, recall_target),
+                          build)
 
 
 def _chunked_topk(chunk_size: int, precision, emb: jax.Array,
@@ -211,8 +245,9 @@ def _chunked_approx_topk(chunk_size: int, recall_target: float,
         return jax.lax.approx_max_k(scores, kk, recall_target=recall_target)
 
     if n_chunks <= 1:
+        # callers validate k <= n at entry, so the output is always k wide
         scores = jnp.einsum("qd,nd->qn", queries, emb).astype(jnp.float32)
-        return chunk_topk(scores, min(k, n))
+        return chunk_topk(scores, k)
 
     pad = n_chunks * chunk_size - n
     emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
@@ -283,7 +318,7 @@ class ShardedDenseIndex:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        k = min(k, self.n)
+        _validate_k(k, self.n)
         axis, mesh = self.axis, self.mesh
         rows = self._shard_rows
         n = self.n

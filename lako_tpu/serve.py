@@ -43,6 +43,9 @@ class ServiceConfig:
     decode_kv_dtype: str = "native"  # "native" | "int8"
     decode_weights_dtype: str = "native"  # "native" | "int8" (weight-only)
     decode_chunk_size: Optional[int] = None
+    # Beam-engine self-KV formulation (allslots | gather | flat); greedy
+    # ignores it. See ReaderTrainConfig.decode_self_attn_impl.
+    decode_self_attn_impl: str = "allslots"
     # Dynamic micro-batching for the HTTP server: concurrent requests that
     # arrive within batch_window_ms of each other are merged into ONE device
     # batch (up to batch_size). Amortizes the per-device-call dispatch cost
@@ -109,7 +112,9 @@ class LakoService:
             kv_dtype=cfg.decode_kv_dtype,
             weights_dtype=cfg.decode_weights_dtype,
             chunk_size=cfg.decode_chunk_size,
-            num_beams=cfg.num_beams)
+            num_beams=cfg.num_beams,
+            self_attn_impl=(cfg.decode_self_attn_impl
+                            if cfg.num_beams > 1 else "allslots"))
 
         self.retriever = retriever
         self.retriever_params = retriever_params
@@ -128,10 +133,12 @@ class LakoService:
         if self.index is None or self.retriever is None:
             return [[] for _ in questions]
         texts = [q["question"] + " " + q.get("caption", "") for q in questions]
-        ids, mask = self.bert_tokenizer.batch_encode(texts, 130)
+        ids, mask = self.bert_tokenizer.batch_encode(
+            texts, self.retriever.config.question_maxlength)
         emb = np.asarray(self._embed_q(self.retriever_params, jnp.asarray(ids),
                                        jnp.asarray(mask)), np.float32)
-        top_ids, scores = self.index.search(emb, k=self.cfg.n_context)
+        k = min(self.cfg.n_context, getattr(self.index, "n", self.cfg.n_context))
+        top_ids, scores = self.index.search(emb, k=k)
         out = []
         for row_ids, row_scores in zip(top_ids, scores):
             out.append([
@@ -215,8 +222,21 @@ class MicroBatcher:
         self._max_batch = max_batch
         self._window = window_s
         self._q: "queue.Queue" = queue.Queue()
+        # batch-occupancy telemetry: how many requests each device batch
+        # actually carried (the micro-batcher's whole value proposition is
+        # occupancy > 1 under concurrent load — measured, not assumed)
+        self.batch_occupancy: List[int] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def stats(self) -> dict:
+        occ = self.batch_occupancy
+        return {
+            "batches": len(occ),
+            "requests": int(sum(occ)),
+            "mean_occupancy": (sum(occ) / len(occ)) if occ else 0.0,
+            "max_occupancy": max(occ) if occ else 0,
+        }
 
     def submit(self, request: dict, timeout: float = 120.0) -> dict:
         out = self.submit_many([request], timeout=timeout)[0]
@@ -268,6 +288,7 @@ class MicroBatcher:
                     slots.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            self.batch_occupancy.append(len(slots))
             try:
                 results = self._service.answer_batch(
                     [s["req"] for s in slots])

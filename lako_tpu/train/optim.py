@@ -158,6 +158,19 @@ def _hf_decoupled_decay(weight_decay: float, lr_schedule, mask_fn,
 
 
 def make_optimizer(cfg: OptimConfig, params_example: Optional[Any] = None) -> optax.GradientTransformation:
+    """Process-cached by config: TrainState stores the transformation as a
+    static (non-pytree) field, so jit keys on its identity — a fresh tx per
+    invocation would force a retrace of an otherwise-cached train step
+    (core/program_cache.py rationale). Equal configs → same tx object.
+
+    ``params_example`` is accepted for API compatibility but unused (no
+    per-shape specialization exists); caching ignores it."""
+    from lako_tpu.core.program_cache import cached_program
+
+    return cached_program(("optimizer", cfg), lambda: _build_optimizer(cfg))
+
+
+def _build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     scheduler_steps = cfg.scheduler_steps or cfg.total_steps
     if cfg.scheduler == "linear":
         lr = warmup_linear_schedule(cfg.lr, cfg.warmup_steps, scheduler_steps,

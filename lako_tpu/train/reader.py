@@ -38,7 +38,22 @@ def make_reader_train_step(model: FiDT5, backend: str = "flax") -> Callable:
     backend: "flax" (layer-unrolled module) or "scan"
     (models/t5/scan_model.py — lax.scan over stacked layers + per-layer
     remat: O(1) compile scaling for deep readers, same loss).
+
+    Process-cached by model identity + backend (core/program_cache.py): the
+    full loop's iteration N reuses iteration 1's compiled step. NOTE: the
+    jit cache also keys on TrainState.tx (a static pytree field), so the
+    optimizer must come from the equally-cached make_optimizer for the hit
+    to land.
     """
+    from lako_tpu.core.program_cache import cached_program, dtype_key
+
+    key = ("reader_train_step", model.config, dtype_key(model.dtype),
+           model.use_remat, model.remat_policy, backend)
+    return cached_program(
+        key, lambda: _build_reader_train_step(model, backend))
+
+
+def _build_reader_train_step(model: FiDT5, backend: str) -> Callable:
     if backend == "scan":
         from lako_tpu.models.t5.scan_model import make_scan_loss_fn
 
@@ -282,16 +297,20 @@ def train_reader(
         model, max_length=cfg.eval_max_length, backend=cfg.decode_backend,
         kv_dtype=cfg.decode_kv_dtype,
         weights_dtype=cfg.decode_weights_dtype,
-        chunk_size=cfg.decode_chunk_size)
+        chunk_size=cfg.decode_chunk_size,
+        self_attn_impl=cfg.decode_self_attn_impl)
 
     patience = 0
     history: List[Dict[str, float]] = []
     ckpt_dir = f"{cfg.checkpoint_dir}/{cfg.name}"
     epoch = 0
-    # profile_dir: trace steps 3-5 of the run (past the compile step) into
-    # an xprof/TensorBoard trace (core/profiling.py)
+    # profile_dir: trace local steps 3-5 of THIS process (past the compile
+    # step) into an xprof/TensorBoard trace (core/profiling.py). Counted
+    # from process start, not the global resumed ``step`` — otherwise a
+    # resumed run (step restored > 2) would silently never trace.
     trace_pending = cfg.profile_dir is not None
     trace_active = False
+    local_step = 0
     for epoch in range(1, cfg.epochs + 1):
         t0 = time.time()
         losses = []
@@ -299,7 +318,7 @@ def train_reader(
             train_ds, global_batch, collator,
             shuffle=True, seed=cfg.seed + epoch, drop_last=True, prefetch=2,
         ):
-            if trace_pending and step == 2:
+            if trace_pending and local_step == 2:
                 jax.profiler.start_trace(cfg.profile_dir)
                 trace_pending, trace_active = False, True
             sharded = shard_batch(mesh, {
@@ -310,7 +329,8 @@ def train_reader(
                                      sharded["labels"], rng)
             losses.append(loss)
             step += 1
-            if trace_active and step >= 5:
+            local_step += 1
+            if trace_active and local_step >= 5:
                 loss.block_until_ready()
                 jax.profiler.stop_trace()
                 trace_active = False

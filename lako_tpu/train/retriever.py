@@ -29,7 +29,22 @@ from lako_tpu.train.optim import make_optimizer
 from lako_tpu.train.state import TrainState
 
 
+def _retriever_key(model: Retriever) -> tuple:
+    from lako_tpu.core.program_cache import dtype_key
+
+    return (model.config, dtype_key(model.dtype))
+
+
 def make_retriever_train_step(model: Retriever) -> Callable:
+    """Process-cached by retriever identity (core/program_cache.py), so the
+    full loop's later iterations reuse the compiled step."""
+    from lako_tpu.core.program_cache import cached_program
+
+    return cached_program(("retriever_train_step", _retriever_key(model)),
+                          lambda: _build_retriever_train_step(model))
+
+
+def _build_retriever_train_step(model: Retriever) -> Callable:
     # donate the incoming state: halves train-state HBM (old+new buffers
     # never coexist) — at t5-large this is the difference between batch 32
     # fitting or OOMing on a 16 GB chip
@@ -51,14 +66,19 @@ def make_retriever_train_step(model: Retriever) -> Callable:
 
 
 def make_retriever_score_fn(model: Retriever) -> Callable:
-    @jax.jit
-    def score_fn(params, q_ids, q_mask, p_ids, p_mask):
-        _, _, score, _ = model.apply(
-            {"params": params}, q_ids, q_mask, p_ids, p_mask
-        )
-        return score
+    from lako_tpu.core.program_cache import cached_program
 
-    return score_fn
+    def build():
+        @jax.jit
+        def score_fn(params, q_ids, q_mask, p_ids, p_mask):
+            _, _, score, _ = model.apply(
+                {"params": params}, q_ids, q_mask, p_ids, p_mask
+            )
+            return score
+
+        return score_fn
+
+    return cached_program(("retriever_score", _retriever_key(model)), build)
 
 
 def sort_facts_by_gold(examples: Sequence[dict]) -> List[dict]:

@@ -282,6 +282,65 @@ def _ref_config_decomposition(jax, jnp, cfg, peak, flops_fn, OptimConfig,
         "mfu_pct": round(100 * flops / (t_step * peak), 1),
         "ex_per_sec": round(B / t_step, 1),
     }
+    del state
+
+    # ---- donated-step A/B grid: remat x optimizer (VERDICT r3 #3) --------
+    # The production step donates; the decomposition above is non-donated
+    # only because segment timing needs live inputs. This grid measures the
+    # knobs where the headline is actually decided: remat off (B=8's
+    # activations easily fit — remat's encoder recompute is pure waste at
+    # this batch) and the optimizer choice (sgd isolates the optimizer
+    # segment's donated cost; adamw_fused is the single-pass tree_map).
+    import gc
+
+    def timed_donated(use_remat, optim):
+        model_ = FiDT5(cfg, dtype=jnp.bfloat16, use_remat=use_remat)
+        # real buffer copies: the donated step invalidates its input state,
+        # which must not take the shared `params` buffers with it
+        params_ = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params)
+        if optim == "sgd":
+            import optax
+
+            tx_ = optax.sgd(4e-5)
+        else:
+            tx_ = make_optimizer(OptimConfig(
+                optim=optim, lr=4e-5, weight_decay=0.1, scheduler="linear",
+                warmup_steps=100, total_steps=10_000))
+        state_ = TrainState.create(params_, tx_)
+
+        @(lambda f: jax.jit(f, donate_argnums=(0,)))
+        def dstep(state, i, m, l):
+            loss, grads = jax.value_and_grad(
+                lambda p: model_.apply({"params": p}, i, m, l)[0]
+            )(state.params)
+            return state.apply_gradients(grads), loss
+
+        for _ in range(6):
+            state_, loss = dstep(state_, ids, mask, labels)
+        _ = float(loss)
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state_, loss = dstep(state_, ids, mask, labels)
+        _ = float(loss)
+        dt = (time.perf_counter() - t0) / n
+        del state_
+        gc.collect()
+        return dt
+
+    grid = {}
+    for use_remat, optim in ((True, "adamw"), (False, "adamw"),
+                             (False, "sgd"), (True, "sgd")):
+        dt = timed_donated(use_remat, optim)
+        grid[f"remat{int(use_remat)}_{optim}"] = {
+            "ms": round(1e3 * dt, 1),
+            "ex_per_sec": round(B / dt, 1),
+            "mfu_pct": round(100 * flops / (dt * peak), 1),
+        }
+        print(json.dumps({k: grid[k] for k in list(grid)[-1:]}), flush=True)
+    out["donated_grid"] = grid
+
     print(json.dumps(out))
     Path("artifacts").mkdir(exist_ok=True)
     Path("artifacts/train_roofline_ref.json").write_text(

@@ -1,15 +1,27 @@
-"""Full iterative LaKo loop on real OK-VQA rows.
+"""Full iterative LaKo loop on real OK-VQA rows, instrumented.
 
 Data: the 1,216 validation rows whose COCO caption predictions ship with the
-reference checkout (see real_okvqa_smoke.py). The fact corpus is the set of
-real caption sentences; BM25 attaches top-k facts per question (the reference's
-candidate-mining role), then the complete loop runs: stream-2 FiD reader
-training → greedy decode with cross-attention scores → retriever distillation →
-corpus embedding → small-range re-rank → hit@k. From-scratch t5-small (no
-pretrained weights exist here), so absolute EM is small — this demonstrates the
-whole iterative system on real text on TPU.
+reference checkout (see real_okvqa_smoke.py). From-scratch t5-small (no
+pretrained weights exist in this environment), so absolute EM is small — the
+point is exercising and *diagnosing* the whole iterative system on real text.
 
-Run: python scripts/real_okvqa_full_loop.py [--iterations 1] [--cpu]
+Two fact-corpus modes (--corpus-mode):
+
+- ``captions`` (the round-3 setup): facts are the caption sentences
+  themselves. Since the full caption is ALSO passage 1 of every example
+  (stream 2, src/data.py:130-141 semantics), every fact is redundant with
+  input the reader already has — the root-cause probe for why round 3's
+  loop left reader metrics bit-identical across iterations.
+- ``train-qa``: facts additionally include one verbalized QA sentence per
+  TRAIN example ("the answer to <question> is <target>."), a QA-memory
+  corpus in the role the reference's 300,600-triple KG plays (answer-bearing
+  facts exist but must be retrieved; eval questions have no own fact, so
+  eval gains require retrieving a similar train question). This gives the
+  loop's mechanism — reader attention → retriever → better fact ranking →
+  better reader — a channel that can actually carry signal at this scale.
+
+Run: python scripts/real_okvqa_full_loop.py [--iterations 2] [--cpu]
+         [--corpus-mode train-qa] [--warm-start] [--out artifacts/x.json]
 """
 
 import argparse
@@ -29,6 +41,17 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--workdir", default="/tmp/okvqa_full_loop")
+    ap.add_argument("--corpus-mode", default="captions",
+                    choices=["captions", "train-qa"])
+    ap.add_argument("--n-context", type=int, default=3)
+    ap.add_argument("--n-candidates", type=int, default=20,
+                    help="BM25-mined candidate facts per question (the "
+                         "re-rank ceiling)")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="warm-start each iteration's reader from the "
+                         "previous one (reference load_path behavior)")
+    ap.add_argument("--out", default=None,
+                    help="also copy the loop history JSON here")
     args = ap.parse_args()
 
     import jax
@@ -48,26 +71,34 @@ def main():
     wd = Path(args.workdir)
     wd.mkdir(parents=True, exist_ok=True)
 
-    # --- real examples + caption-sentence fact corpus -----------------------
+    # --- real examples + fact corpus ----------------------------------------
     examples = build_examples()
+    n_train = 1000
     sentences = sorted({c.strip() + ("." if not c.strip().endswith(".") else "")
                         for ex in examples
                         for c in ex["caption"].split(".") if c.strip()})
+    if args.corpus_mode == "train-qa":
+        qa_facts = [f"the answer to {ex['question'].rstrip('?').strip()} "
+                    f"is {ex['target']}."
+                    for ex in examples[:n_train]]
+        sentences = sorted(set(sentences) | set(qa_facts))
     corpus = [{"sentence": s, "id": i} for i, s in enumerate(sentences)]
     (wd / "corpus.json").write_text(json.dumps(corpus))
-    print(f"examples: {len(examples)}, corpus sentences: {len(corpus)}", flush=True)
+    print(f"examples: {len(examples)}, corpus sentences: {len(corpus)} "
+          f"(mode={args.corpus_mode})", flush=True)
 
     bm25 = BM25Okapi([s.lower().split() for s in sentences])
     t0 = time.time()
     for ex in examples:
         query = (ex["question"] + " " + ex["caption"]).lower() \
             .replace("?", "").replace(".", "").split()
-        top = bm25.get_top_n(query, list(range(len(sentences))), n=20)
+        top = bm25.get_top_n(query, list(range(len(sentences))),
+                             n=args.n_candidates)
         ex["fact"] = [{"sentence": sentences[i], "id": int(i)} for i in top]
     print(f"BM25 fact mining: {time.time()-t0:.1f}s", flush=True)
 
-    (wd / "train.json").write_text(json.dumps(examples[:1000]))
-    (wd / "eval.json").write_text(json.dumps(examples[1000:]))
+    (wd / "train.json").write_text(json.dumps(examples[:n_train]))
+    (wd / "eval.json").write_text(json.dumps(examples[n_train:]))
 
     # --- tokenizers + configs ------------------------------------------------
     cli(["build-tokenizer", "--from-json", str(wd / "train.json"),
@@ -81,12 +112,12 @@ def main():
         "per_device_batch_size": 32, "eval_batch_size": 32,
         "epochs": args.epochs, "early_stop": args.epochs,
         "eval_max_length": 8, "use_remat": False, "dtype": "bfloat16",
-        "data": {"n_context": 3, "text_maxlength": 128, "answer_maxlength": 8,
-                 "stream": 2},
+        "data": {"n_context": args.n_context, "text_maxlength": 128,
+                 "answer_maxlength": 8, "stream": 2},
         "optim": {"optim": "adamw", "lr": 3e-4, "weight_decay": 0.01}}))
     (wd / "retriever.json").write_text(json.dumps({
         "per_device_batch_size": 16, "eval_batch_size": 16, "epochs": 3,
-        "early_stop": 3, "n_context": 3, "dtype": "float32",
+        "early_stop": 3, "n_context": args.n_context, "dtype": "float32",
         "retriever": {
             "bert": {"vocab_size": 32000, "hidden_size": 128,
                      "num_hidden_layers": 2, "num_attention_heads": 4,
@@ -96,16 +127,36 @@ def main():
         "optim": {"optim": "adamw", "lr": 1e-4, "weight_decay": 0.01}}))
 
     t0 = time.time()
-    cli(["full-loop", "--workdir", str(wd / "loop"),
-         "--reader-config", str(wd / "reader.json"),
-         "--retriever-config", str(wd / "retriever.json"),
-         "--train-data", str(wd / "train.json"),
-         "--eval-data", str(wd / "eval.json"),
-         "--corpus", str(wd / "corpus.json"),
-         "--tokenizer", str(wd / "tok.json"),
-         "--bert-tokenizer", str(wd / "btok.json"),
-         "--iterations", str(args.iterations)])
-    print(f"full loop wall: {time.time()-t0:.1f}s", flush=True)
+    loop_args = ["full-loop", "--workdir", str(wd / "loop"),
+                 "--reader-config", str(wd / "reader.json"),
+                 "--retriever-config", str(wd / "retriever.json"),
+                 "--train-data", str(wd / "train.json"),
+                 "--eval-data", str(wd / "eval.json"),
+                 "--corpus", str(wd / "corpus.json"),
+                 "--tokenizer", str(wd / "tok.json"),
+                 "--bert-tokenizer", str(wd / "btok.json"),
+                 "--iterations", str(args.iterations),
+                 "--fact-ablation"]
+    if args.warm_start:
+        loop_args.append("--warm-start-reader")
+    cli(loop_args)
+    wall = time.time() - t0
+    print(f"full loop wall: {wall:.1f}s", flush=True)
+
+    if args.out:
+        hist = json.loads((wd / "loop" / "full_loop_history.json").read_text())
+        out = {"config": {"corpus_mode": args.corpus_mode,
+                          "iterations": args.iterations,
+                          "epochs": args.epochs,
+                          "n_context": args.n_context,
+                          "n_candidates": args.n_candidates,
+                          "warm_start": args.warm_start,
+                          "corpus_size": len(corpus)},
+               "wall_seconds": round(wall, 1),
+               "history": hist}
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(out, indent=1))
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

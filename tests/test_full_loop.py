@@ -63,12 +63,35 @@ def test_full_loop_two_iterations(tmp_path, capsys):
         "--corpus", str(wd / "corpus.json"),
         "--tokenizer", str(wd / "tok.json"),
         "--bert-tokenizer", str(wd / "btok.json"),
-        "--iterations", "2",
+        "--iterations", "2", "--fact-ablation",
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["iterations"] == 2
     hist = out["history"]
     assert hist[0]["reader_best_em"] > 0.3
+    # --- per-iteration diagnostics (round-4: cross-iteration claims must be
+    # checkable from the artifact) ---
+    d1, d2 = hist[0]["diagnostics"], hist[1]["diagnostics"]
+    # two independently trained readers are distinct checkpoints
+    assert d1["reader_ckpt_sha256"] and d2["reader_ckpt_sha256"]
+    assert d1["reader_ckpt_sha256"] != d2["reader_ckpt_sha256"]
+    # hit-conditioned slices cover the whole eval set
+    hc = d1["hit_conditioned"]
+    assert hc["n_hit"] + hc["n_miss"] == hist[0]["eval"]["total"]
+    # iteration 2 only: train-input diff + answer drift + fixed-gold retriever
+    assert "train_fact_diff_vs_prev" not in d1
+    fd = d2["train_fact_diff_vs_prev"]
+    assert 0.0 <= fd["mean_topn_jaccard"] <= 1.0
+    assert "answers_vs_prev" in d2
+    for d in (d1, d2):
+        assert "retriever_inversions_vs_v1_gold" in d
+        # fact-shuffle ablation ran and produced a well-formed delta. (No
+        # sign assertion: the fixture's questions NAME the animal, so a
+        # trained reader answers from the question alone and is legitimately
+        # fact-blind here — exactly what the diagnostic exists to expose.)
+        ab = d["fact_shuffle_ablation"]
+        assert 0.0 <= ab["em"] <= 1.0
+        assert isinstance(ab["em_delta_vs_true_facts"], float)
     # artifacts from every stage of both iterations exist
     loop = wd / "loop"
     for v in ("v1", "v2"):

@@ -391,3 +391,74 @@ class TestShardedIndex:
             assert set(map(int, ids_d[row])) == set(map(int, oracle_top[row]))
             assert set(map(int, ids_s[row])) == set(map(int, oracle_top[row]))
         np.testing.assert_allclose(sc_d, sc_s, rtol=1e-5)
+
+
+class TestEmbedFiniteAndMaxlength:
+    """Round-4 regression: embed maxlength must come from the retriever's
+    trained config, and non-finite embeddings must fail loudly at the source.
+
+    The bug: embed_questions hardcoded maxlength=130; with a BERT whose
+    max_position_embeddings < 130, the position lookup went out of range,
+    jnp.take's fill mode produced all-NaN embeddings, NaN scores made the
+    full loop's re-rank argsort a silent NO-OP, and iteration 2 trained on
+    byte-identical data (the round-3 'reader never improves' artifact)."""
+
+    def _tiny_retriever(self):
+        import jax
+
+        from lako_tpu.core.config import BertConfig, RetrieverConfig
+        from lako_tpu.models.retriever import Retriever
+
+        cfg = RetrieverConfig(
+            bert=BertConfig(vocab_size=200, hidden_size=32,
+                            num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, max_position_embeddings=64),
+            indexing_dimension=16, question_maxlength=16, passage_maxlength=12)
+        model = Retriever(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), bool),
+            jnp.zeros((1, 1, 8), jnp.int32), jnp.ones((1, 1, 8), bool),
+        )["params"]
+        return model, params
+
+    def _tok(self):
+        from tests.fixtures import make_tokenizer
+
+        return make_tokenizer(style="bert")
+
+    def test_config_maxlength_is_default(self):
+        from lako_tpu.retrieval.embed import embed_corpus, embed_questions
+
+        model, params = self._tiny_retriever()
+        tok = self._tok()
+        exs = [{"question": "what sound does the cat make?",
+                "caption": "a cat sitting on the grass."}]
+        q = embed_questions(model, params, exs, tok, batch_size=4)
+        assert np.isfinite(q).all() and q.shape == (1, 16)
+        ids, emb = embed_corpus(model, params,
+                                [{"sentence": "cat says meow.", "id": 3}],
+                                tok, batch_size=4)
+        assert np.isfinite(emb).all() and list(ids) == [3]
+
+    def test_past_position_table_raises(self):
+        from lako_tpu.retrieval.embed import embed_questions
+
+        model, params = self._tiny_retriever()
+        tok = self._tok()
+        exs = [{"question": "what sound does the cat make?",
+                "caption": "a cat sitting on the grass."}]
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            embed_questions(model, params, exs, tok, batch_size=4,
+                            maxlength=130)
+
+    def test_index_rejects_nan_corpus(self):
+        emb = np.ones((4, 8), np.float32)
+        emb[2, 3] = np.nan
+        with pytest.raises(FloatingPointError):
+            DenseIndex(emb)
+
+    def test_search_k_exceeding_corpus_raises(self):
+        emb = np.ones((4, 8), np.float32)
+        with pytest.raises(ValueError, match="exceeds the corpus size"):
+            DenseIndex(emb).search(np.ones((1, 8), np.float32), k=10)
