@@ -53,12 +53,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of per-host batch arrays, sharded on dim 0."""
+def put_global(x, sharding) -> jax.Array:
+    """Create a global array from per-process host data.
+
+    Single-process: plain device_put. Multi-process: each process
+    contributes its LOCAL rows (for dims sharded across processes) or its
+    identical full copy (for replicated shardings) via
+    ``jax.make_array_from_process_local_data`` — the multi-host SPMD data
+    path the reference's DDP never had (its per-rank ``load_data`` sharding
+    was defined but unused, src/data.py:151-160)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Global batch from per-host batch arrays, sharded on dim 0.
+
+    Multi-process: each process passes its LOCAL slice of the global batch
+    (global dim 0 = local rows x process_count); see put_global."""
     def _put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        return put_global(x, batch_sharding(mesh, np.ndim(x), axis))
 
     return jax.tree_util.tree_map(_put, batch)
+
+
+def local_rows(arr: jax.Array) -> np.ndarray:
+    """This process's rows of a dim-0-sharded global array, in the order the
+    process contributed them (inverse of shard_batch for decode outputs).
+    Fully-replicated arrays return the whole array."""
+    if jax.process_count() == 1 or arr.is_fully_replicated:
+        return np.asarray(arr)
+    shards = sorted((s for s in arr.addressable_shards),
+                    key=lambda s: s.index[0].start or 0)
+    out = []
+    seen = set()
+    for s in shards:
+        key = (s.index[0].start, s.index[0].stop)
+        if key in seen:    # replicated over a model axis: one copy per row
+            continue
+        seen.add(key)
+        out.append(np.asarray(s.data))
+    return np.concatenate(out, axis=0)
 
 
 def process_is_main() -> bool:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Callable, Iterator, List
+from typing import Callable, Iterator, List, Optional
 
 import numpy as np
 
@@ -52,6 +52,7 @@ def batch_iterator(
     drop_last: bool = False,
     pad_final: bool = True,
     prefetch: int = 0,
+    num_batches: Optional[int] = None,
 ) -> Iterator:
     """Yield collated fixed-shape batches.
 
@@ -61,6 +62,11 @@ def batch_iterator(
     prefetch > 0 runs collation on a background thread with a bounded queue, so
     host tokenization overlaps device compute (the role of the reference's
     DataLoader num_workers, train_reader.py:46).
+
+    ``num_batches`` forces EXACTLY that many batches, truncating extra data
+    or emitting all-``valid=False`` padding batches past the end. Multi-host
+    SPMD needs this: every process must join every compiled collective call,
+    so per-process shard-size differences must not change the batch count.
     """
     n = len(dataset)
     order = np.arange(n)
@@ -68,15 +74,23 @@ def batch_iterator(
         np.random.default_rng(seed).shuffle(order)
 
     def produce() -> Iterator:
+        produced = 0
         for start in range(0, n, batch_size):
+            if num_batches is not None and produced >= num_batches:
+                return
             idx = order[start : start + batch_size]
             if len(idx) < batch_size:
                 if drop_last:
-                    return
+                    break
                 if not pad_final:
                     yield collate([dataset[int(i)] for i in idx])
+                    produced += 1
                     continue
             yield collate([dataset[int(i)] for i in idx], pad_to=batch_size)
+            produced += 1
+        while num_batches is not None and produced < num_batches:
+            yield collate([], pad_to=batch_size)   # all rows valid=False
+            produced += 1
 
     if prefetch <= 0:
         yield from produce()

@@ -23,7 +23,9 @@ from lako_tpu.core import preemption
 from lako_tpu.core.checkpoint import load_checkpoint, save_checkpoint
 from lako_tpu.core.config import ReaderTrainConfig, t5_config_for_size
 from lako_tpu.core.logging import get_logger
-from lako_tpu.core.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from lako_tpu.core.mesh import (batch_sharding, local_rows, make_mesh,
+                                process_is_main, put_global, replicated,
+                                shard_batch)
 from lako_tpu.data import ReaderCollator, ReaderDataset, batch_iterator
 from lako_tpu.models.t5 import FiDT5
 from lako_tpu.models.t5.decode import make_best_generate_fn
@@ -108,22 +110,42 @@ def evaluate_reader(
 ) -> Dict[str, Any]:
     """Greedy decode + weighted EM over a dataset (reference evaluate,
     train_reader.py:123-169). Returns per-example answers too, for the
-    write_results path (test_reader.py:92-105)."""
+    write_results path (test_reader.py:92-105).
+
+    Multi-process: ``dataset`` is this process's shard, ``batch_size`` is
+    GLOBAL; every process contributes batch_size/process_count rows per
+    compiled call (all processes must join every call, so the batch count
+    is synchronized to the largest shard), decodes its own rows, and the
+    EM is combined by weighted_average — the reference's rank-sharded eval
+    (train_reader.py:165, util.py:266-273) done the SPMD way."""
+    world = jax.process_count()
+    local_bs = batch_size
+    num_batches = None
     if mesh is not None:
         # round the batch up to a multiple of the mesh batch axis so every
         # (pad_final-padded) batch stays sharded — never replicated
         ax = mesh.shape[batch_axis]
         batch_size = -(-batch_size // ax) * ax
+        local_bs = batch_size // world
+        if world > 1:
+            from jax.experimental import multihost_utils
+
+            lens = multihost_utils.process_allgather(
+                jnp.asarray(len(dataset), jnp.int32))
+            num_batches = int(-(-int(np.max(lens)) // local_bs))
     scores: List[float] = []
     answers: List[str] = []
     indices: List[int] = []
-    for batch in batch_iterator(dataset, batch_size, collator, shuffle=False):
-        ids, mask = jnp.asarray(batch.passage_ids), jnp.asarray(batch.passage_mask)
+    for batch in batch_iterator(dataset, local_bs, collator, shuffle=False,
+                                num_batches=num_batches):
+        ids, mask = batch.passage_ids, batch.passage_mask
         if mesh is not None:
-            ids = jax.device_put(ids, batch_sharding(mesh, ids.ndim, batch_axis))
-            mask = jax.device_put(mask, batch_sharding(mesh, mask.ndim, batch_axis))
+            ids = put_global(ids, batch_sharding(mesh, ids.ndim, batch_axis))
+            mask = put_global(mask, batch_sharding(mesh, mask.ndim, batch_axis))
+        else:
+            ids, mask = jnp.asarray(ids), jnp.asarray(mask)
         tokens, _ = generate_fn(params, ids, mask)
-        decoded = tokenizer.batch_decode(np.asarray(tokens))
+        decoded = tokenizer.batch_decode(local_rows(tokens))
         for k, ans in enumerate(decoded):
             if not batch.valid[k]:
                 continue
@@ -182,7 +204,24 @@ def train_reader(
     collator = ReaderCollator(cfg.data, tokenizer)
 
     global_batch = cfg.per_device_batch_size * mesh.shape[cfg.mesh.batch_axis]
-    steps_per_epoch = len(train_ds) // global_batch
+    # Multi-process: train_ds is this process's shard (load_reader_data's
+    # k % world == rank split); each process feeds global_batch/world rows
+    # per step and the step count is synchronized to the SMALLEST shard so
+    # every process joins every compiled collective (no ragged deadlock).
+    world = jax.process_count()
+    local_batch = global_batch // max(1, world)
+    if world > 1:
+        if global_batch % world:
+            raise ValueError(
+                f"global batch {global_batch} not divisible by "
+                f"{world} processes")
+        from jax.experimental import multihost_utils
+
+        lens = multihost_utils.process_allgather(
+            jnp.asarray(len(train_ds), jnp.int32))
+        steps_per_epoch = int(np.min(lens)) // local_batch
+    else:
+        steps_per_epoch = len(train_ds) // global_batch
     total_steps = max(1, steps_per_epoch * cfg.epochs)
     warmup = int(total_steps * cfg.warmup_fraction)  # reference train_reader.py:261
     optim_cfg = cfg.optim.replace(
@@ -213,15 +252,18 @@ def train_reader(
                                                   opt_template)
         init_params = params
         if not use_pp:
-            init_params = jax.device_put(init_params, replicated(mesh))
+            init_params = jax.tree_util.tree_map(
+                lambda x: put_global(x, replicated(mesh)), init_params)
             state = TrainState.create(init_params, tx)
             if not reset_params and opt_state is not None:
                 step = int(meta.get("step", 0))
                 best_dev_em = float(meta.get("best_eval_metric", 0.0))
                 state = state.replace(
-                    opt_state=jax.device_put(opt_state, replicated(mesh)),
-                    step=jax.device_put(jnp.asarray(step, jnp.int32),
-                                        replicated(mesh)))
+                    opt_state=jax.tree_util.tree_map(
+                        lambda x: put_global(x, replicated(mesh)),
+                        opt_state),
+                    step=put_global(np.asarray(step, np.int32),
+                                    replicated(mesh)))
             elif not reset_params:
                 logger.warning("requested optimizer resume but checkpoint "
                                "has no optimizer state; starting fresh")
@@ -271,8 +313,8 @@ def train_reader(
                 best_dev_em = float(meta.get("best_eval_metric", 0.0))
                 state = state.replace(
                     opt_state=pp_opt,
-                    step=jax.device_put(jnp.asarray(step, jnp.int32),
-                                        replicated(mesh)))
+                    step=put_global(np.asarray(step, np.int32),
+                                    replicated(mesh)))
             else:
                 logger.warning("PP resume: checkpoint has no (matching) "
                                "optimizer state; starting the optimizer "
@@ -288,7 +330,8 @@ def train_reader(
                              s.opt_state)
     else:
         if resume_from is None:
-            init_params = jax.device_put(init_params, replicated(mesh))
+            init_params = jax.tree_util.tree_map(
+                lambda x: put_global(x, replicated(mesh)), init_params)
             state = TrainState.create(init_params, tx)
         train_step = make_reader_train_step(model, backend=cfg.train_backend)
         to_eval_params = lambda s: s.params
@@ -315,8 +358,9 @@ def train_reader(
         t0 = time.time()
         losses = []
         for batch in batch_iterator(
-            train_ds, global_batch, collator,
+            train_ds, local_batch, collator,
             shuffle=True, seed=cfg.seed + epoch, drop_last=True, prefetch=2,
+            num_batches=steps_per_epoch if world > 1 else None,
         ):
             if trace_pending and local_step == 2:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -335,9 +379,11 @@ def train_reader(
                 jax.profiler.stop_trace()
                 trace_active = False
             if preemption.preempted():
+                # rank-0-only writes (reference util.py:105: main-rank save)
                 preemption.handle_preemption(lambda: save_checkpoint(
                     ckpt_dir, "preempted", *to_ckpt(state),
-                    step, best_dev_em) if save_checkpoints else None)
+                    step, best_dev_em)
+                    if save_checkpoints and process_is_main() else None)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
         patience += 1
@@ -354,12 +400,15 @@ def train_reader(
         if dev_em > best_dev_em:
             patience = 0
             best_dev_em = dev_em
-            if save_checkpoints:
+            if save_checkpoints and process_is_main():
                 save_checkpoint(ckpt_dir, "best_dev", *to_ckpt(state),
                                 step, best_dev_em)
-        if save_checkpoints:
+        if save_checkpoints and process_is_main():
             # refreshed every epoch for crash/preemption resume (the reference
-            # only writes on improvement; `latest` then points here)
+            # only writes on improvement; `latest` then points here). Written
+            # by rank 0 only (reference src/util.py is_main guard); dev_em is
+            # already the weighted_average, identical on every process, so
+            # best-dev decisions stay in lockstep.
             save_checkpoint(ckpt_dir, "last", *to_ckpt(state),
                             step, best_dev_em)
         if patience > cfg.early_stop:
