@@ -307,6 +307,12 @@ class ReaderTrainConfig(_ConfigBase):
     eval_batch_size: int = 8
     epochs: int = 20
     early_stop: int = 3
+    # Run the dev-set decode (and the best-dev/patience/`last`-checkpoint
+    # bookkeeping) every k-th epoch; the final epoch always evaluates. 1 is
+    # the reference's evaluate-every-epoch semantics (train_reader.py:87);
+    # larger values are for short-epoch regimes where the dev decode is the
+    # epoch wall-clock bound.
+    eval_every: int = 1
     seed: int = 0
     eval_max_length: int = 50
     warmup_fraction: float = 0.06  # reference train_reader.py:261

@@ -451,7 +451,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--warm-start-reader", action="store_true",
                    help="initialize each iteration's reader from the previous "
                         "iteration's best checkpoint (reference load_path role)")
-    t.add_argument("--reader-init", help="checkpoint dir to warm-start iteration 1")
+    t.add_argument("--reader-init",
+                   help="checkpoint dir every iteration's reader starts from "
+                        "(the reference's pretrained-t5 model_path base); "
+                        "--warm-start-reader overrides it from iteration 2 on")
     t.add_argument("--attention-score-style", default="mean")
     t.add_argument("--ans-attention", action="store_true")
     t.add_argument("--use-last-half-layer-attention", action="store_true")

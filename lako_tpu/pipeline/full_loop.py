@@ -152,15 +152,16 @@ def run_full_loop(args) -> Dict[str, Any]:
             checkpoint_dir=str(workdir), name=f"retriever_{version}",
             n_context=reader_cfg.data.n_context)
 
-        # 1. reader training (warm-started from the previous iteration's best
-        # reader when requested — the reference's load_path warm start,
-        # run_okvqa_train_full.sh:43-44)
-        if it == 1:
-            init_path = getattr(args, "reader_init", None)
-        elif getattr(args, "warm_start_reader", False):
+        # 1. reader training. --warm-start-reader chains iterations (each
+        # reader continues from the previous iteration's best — the
+        # reference's load_path warm start, run_okvqa_train_full.sh:43-44);
+        # otherwise every iteration starts from --reader-init when given
+        # (the reference's model_path base: each iteration's reader begins
+        # from the SAME pretrained t5 weights) or from scratch.
+        if getattr(args, "warm_start_reader", False) and it > 1:
             init_path = prev_reader_ckpt
         else:
-            init_path = None
+            init_path = getattr(args, "reader_init", None)
         reader_out = train_reader_stage(it_reader_cfg, train_data, eval_data, tok,
                                         t5_config=t5_cfg,
                                         init_params_path=init_path)

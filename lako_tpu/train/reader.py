@@ -386,6 +386,18 @@ def train_reader(
                     if save_checkpoints and process_is_main() else None)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
+        if epoch % cfg.eval_every and epoch != cfg.epochs:
+            # eval_every > 1 skips the per-epoch dev decode (the wall-clock
+            # bound when epochs are short); the final epoch always evaluates.
+            # Patience/best-dev then advance only on evaluated epochs —
+            # eval_every=1 is the reference's evaluate-every-epoch semantics
+            # (train_reader.py:87).
+            history.append({"epoch": epoch, "loss": train_loss,
+                            "seconds": time.time() - t0})
+            logger.info("epoch %d | step %d | train loss: %.3f | %.1fs",
+                        epoch, step, train_loss, time.time() - t0)
+            continue
+
         patience += 1
         ev = evaluate_reader(generate_fn, to_eval_params(state), eval_ds, collator,
                              tokenizer, cfg.eval_batch_size, mesh,

@@ -44,6 +44,20 @@ def main():
     ap.add_argument("--corpus-mode", default="captions",
                     choices=["captions", "train-qa"])
     ap.add_argument("--n-context", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--model-size", default="small")
+    ap.add_argument("--eval-every", type=int, default=1)
+    ap.add_argument("--copy-pretrain-epochs", type=int, default=0,
+                    help="epochs of copy-pretraining (random planted answers"
+                         ") the loop's readers then start from; 0 = off")
+    ap.add_argument("--copy-repeats", type=int, default=8,
+                    help="random-answer variants per train question in the "
+                         "copy-pretrain set")
+    ap.add_argument("--copy-lr", type=float, default=1e-3)
+    ap.add_argument("--oracle-rerank", action="store_true",
+                    help="sort each example's candidates answer-bearing-"
+                         "first before training: the perfect-retriever "
+                         "upper bound the loop's re-rank moves toward")
     ap.add_argument("--n-candidates", type=int, default=20,
                     help="BM25-mined candidate facts per question (the "
                          "re-rank ceiling)")
@@ -97,6 +111,21 @@ def main():
         ex["fact"] = [{"sentence": sentences[i], "id": int(i)} for i in top]
     print(f"BM25 fact mining: {time.time()-t0:.1f}s", flush=True)
 
+    if args.oracle_rerank:
+        # upper-bound diagnostic for the iterative loop: a perfect re-ranker
+        # that sorts each example's mined candidates answer-bearing-first
+        # (what the trained retriever is distilled TOWARD). Candidate sets
+        # are unchanged — only the order, exactly like rerank_stage.
+        n_hit = 0
+        for ex in examples:
+            ans = f" {ex['target'].lower().strip()}"
+            hit = [f for f in ex["fact"] if ans in f["sentence"].lower()]
+            if hit:
+                n_hit += 1
+            ex["fact"] = hit + [f for f in ex["fact"] if f not in hit]
+        print(f"oracle re-rank: answer-bearing fact exists for "
+              f"{n_hit}/{len(examples)} examples", flush=True)
+
     (wd / "train.json").write_text(json.dumps(examples[:n_train]))
     (wd / "eval.json").write_text(json.dumps(examples[n_train:]))
 
@@ -108,13 +137,14 @@ def main():
          "--style", "bert"])
 
     (wd / "reader.json").write_text(json.dumps({
-        "model_size": "small",
+        "model_size": args.model_size,
         "per_device_batch_size": 32, "eval_batch_size": 32,
         "epochs": args.epochs, "early_stop": args.epochs,
+        "eval_every": args.eval_every,
         "eval_max_length": 8, "use_remat": False, "dtype": "bfloat16",
         "data": {"n_context": args.n_context, "text_maxlength": 128,
                  "answer_maxlength": 8, "stream": 2},
-        "optim": {"optim": "adamw", "lr": 3e-4, "weight_decay": 0.01}}))
+        "optim": {"optim": "adamw", "lr": args.lr, "weight_decay": 0.01}}))
     (wd / "retriever.json").write_text(json.dumps({
         "per_device_batch_size": 16, "eval_batch_size": 16, "epochs": 3,
         "early_stop": 3, "n_context": args.n_context, "dtype": "float32",
@@ -125,6 +155,73 @@ def main():
             "indexing_dimension": 64, "question_maxlength": 64,
             "passage_maxlength": 32},
         "optim": {"optim": "adamw", "lr": 1e-4, "weight_decay": 0.01}}))
+
+    # --- copy-pretraining (stands in for pretrained T5) ----------------------
+    # The reference's readers START from pretrained t5 — a model that already
+    # knows how to read an answer out of a passage — and the iterative loop's
+    # whole effect is better fact RANKING for that reader
+    # (run_okvqa_train_full.sh:40-186). No checkpoints exist in this
+    # environment, and a from-scratch t5-small trained on 1,000 real rows
+    # memorizes question->answer instead of learning to read facts (measured:
+    # full_loop_r4_probe/oracle artifacts). Copy-pretraining rebuilds the
+    # missing capability from the task's own distribution: same questions,
+    # same candidate facts, but the TARGET is a random answer planted in a
+    # QA fact at a random position — copying from the fact passage is the
+    # only strategy that fits this data. The loop then starts every
+    # iteration's reader from this base (--reader-init), exactly like the
+    # reference starts every iteration from t5 pretrained weights.
+    reader_init = None
+    if args.copy_pretrain_epochs > 0:
+        import random
+
+        rng = random.Random(0)
+        pool = sorted({ex["target"] for ex in examples[:n_train]})
+
+        def copy_rows(rows, repeats):
+            out = []
+            for r in range(repeats):
+                for ex in rows:
+                    ans = rng.choice(pool)
+                    facts = [dict(f) for f in ex["fact"][:args.n_context]]
+                    slot = rng.randrange(max(1, len(facts)))
+                    qa = {"sentence": f"the answer to "
+                                      f"{ex['question'].rstrip('?').strip()} "
+                                      f"is {ans}.", "id": 10**6 + len(out)}
+                    if facts:
+                        facts[slot] = qa
+                    else:
+                        facts = [qa]
+                    out.append({"question": ex["question"],
+                                "caption": ex["caption"], "target": ans,
+                                "answer": {ans: 1.0},
+                                "img_id": ex["img_id"], "fact": facts})
+            return out
+
+        (wd / "copy_train.json").write_text(
+            json.dumps(copy_rows(examples[:n_train], args.copy_repeats)))
+        (wd / "copy_eval.json").write_text(
+            json.dumps(copy_rows(examples[n_train:], 1)))
+        (wd / "copy_reader.json").write_text(json.dumps({
+            "model_size": args.model_size, "name": "reader_copy",
+            "checkpoint_dir": str(wd / "copy"),
+            "per_device_batch_size": 32, "eval_batch_size": 32,
+            "epochs": args.copy_pretrain_epochs,
+            "early_stop": args.copy_pretrain_epochs,
+            "eval_every": args.eval_every,
+            "eval_max_length": 8, "use_remat": False, "dtype": "bfloat16",
+            "data": {"n_context": args.n_context, "text_maxlength": 128,
+                     "answer_maxlength": 8, "stream": 2},
+            "optim": {"optim": "adamw", "lr": args.copy_lr,
+                      "weight_decay": 0.01}}))
+        t0 = time.time()
+        cli(["train-reader", "--config", str(wd / "copy_reader.json"),
+             "--train-data", str(wd / "copy_train.json"),
+             "--eval-data", str(wd / "copy_eval.json"),
+             "--tokenizer", str(wd / "tok.json")])
+        print(f"copy-pretrain wall: {time.time()-t0:.1f}s", flush=True)
+        best = wd / "copy" / "reader_copy" / "checkpoint" / "best_dev"
+        last = wd / "copy" / "reader_copy" / "checkpoint" / "last"
+        reader_init = str(best if best.exists() else last)
 
     t0 = time.time()
     loop_args = ["full-loop", "--workdir", str(wd / "loop"),
@@ -139,6 +236,8 @@ def main():
                  "--fact-ablation"]
     if args.warm_start:
         loop_args.append("--warm-start-reader")
+    if reader_init:
+        loop_args += ["--reader-init", reader_init]
     cli(loop_args)
     wall = time.time() - t0
     print(f"full loop wall: {wall:.1f}s", flush=True)
@@ -148,6 +247,13 @@ def main():
         out = {"config": {"corpus_mode": args.corpus_mode,
                           "iterations": args.iterations,
                           "epochs": args.epochs,
+                          "lr": args.lr,
+                          "model_size": args.model_size,
+                          "oracle_rerank": args.oracle_rerank,
+                          "copy_pretrain_epochs": args.copy_pretrain_epochs,
+                          "copy_repeats": args.copy_repeats,
+                          "copy_lr": args.copy_lr,
+                          "eval_every": args.eval_every,
                           "n_context": args.n_context,
                           "n_candidates": args.n_candidates,
                           "warm_start": args.warm_start,
