@@ -6,9 +6,14 @@ triples sharing a stemmed word, BM25-rank those candidates, keep top 500.
 
 The reference scans the ENTIRE KG per question (O(questions × |KG|),
 vqa2_deal.py:112-116). Here an inverted stem → fact-id index is built once, so a
-question touches only the postings of its own words — the same candidate set,
-orders of magnitude less work (the repo itself ships a precomputed
-word_2_tripleId map hinting at this, .MISSING_LARGE_BLOBS:9).
+question touches only the postings of its own words — the same candidate set
+(verified per-question at reference scale), **25× less candidate-phase work
+measured** at the reference's own scale (300,600 triples × 9,009 OK-VQA
+questions: 28 ms/question vs the scan's 699 ms/question;
+artifacts/mine_candidates_300k.json). End-to-end mining is ~1.8× faster,
+because BM25-ranking the candidates — identical in both designs — dominates
+once the scan is gone. The repo itself ships a precomputed word_2_tripleId
+map hinting at this design (.MISSING_LARGE_BLOBS:9).
 """
 
 from __future__ import annotations
