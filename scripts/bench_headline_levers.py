@@ -1,0 +1,152 @@
+"""Reference-config headline levers (VERDICT r3 #3).
+
+The B=8 headline is bounded by batch-independent work: the donated step is
+~64 ms against 24.2 ms of model matmuls at peak (37-38% MFU), and the r3
+roofline (artifacts/train_roofline_ref.json) showed the non-donated step's
+optimizer segment is 34.4 ms (22 of it non-donation copies). The two
+untried levers the verdict names are (a) a cheaper/overlapped optimizer
+and (b) cutting non-matmul work out of the backward. This script measures
+both at the exact headline config (t5-large, B=8, N=2, L=130, T=20, bf16,
+donated state, reference run_okvqa_train.sh:6-10 shapes):
+
+1. remat ON  (current headline): backward re-executes the whole encoder
+   forward (~14 ms of recompute) that a 16 GB chip does not need at B=8.
+2. remat OFF: same model FLOPs, no recompute — the candidate new headline.
+3. fwd+bwd only (no optimizer): the zero-cost-optimizer bound. If even
+   this is > 24.2/0.45 = 53.8 ms, 45% MFU is structurally unreachable on
+   one chip without making the backward itself faster.
+4. optimizer-segment delta (full step - fwd+bwd) for the donated state:
+   compares against the ~12-13 ms bandwidth floor (bf16 moments, ~11 GB
+   of param/grad/moment traffic at 819 GB/s).
+
+MFU uses bench.py's model-FLOPs formula (6*P*tok, cross-K/V at encoder
+tokens) — remat off executes FEWER flops for the same model step, so its
+MFU gain is a genuine speedup, not an accounting change.
+
+Output: artifacts/headline_levers.json.  Run (TPU):
+    python scripts/bench_headline_levers.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lako_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench import V5E_PEAK_BF16_FLOPS, _train_flops_per_step
+    from lako_tpu.core.config import OptimConfig, t5_config_for_size
+    from lako_tpu.models.t5 import FiDT5
+    from lako_tpu.train.optim import make_optimizer
+    from lako_tpu.train.state import TrainState
+
+    cfg = t5_config_for_size("large", dropout_rate=0.0)
+    B, N, L, T = 8, 2, 130, 20
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (B, N, L), 0, cfg.vocab_size,
+                             dtype=jnp.int32)
+    mask = jnp.ones((B, N, L), dtype=bool)
+    labels = jax.random.randint(rng, (B, T), 0, cfg.vocab_size,
+                                dtype=jnp.int32)
+
+    out = {"config": {"B": B, "N": N, "L": L, "T": T, "size": "large"}}
+
+    def measure(use_remat):
+        model = FiDT5(cfg, dtype=jnp.bfloat16, use_remat=use_remat)
+        params = jax.jit(
+            lambda r: model.init(r, ids, mask, labels)["params"])(rng)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
+        flops = _train_flops_per_step(params, B, N, L, T)
+
+        # fwd+bwd only — grads kept live via one fused scalar reduction
+        # (see bench_train_roofline.py: without it XLA DCEs the backward)
+        def _fwdbwd(p, i, m, l):
+            loss, grads = jax.value_and_grad(
+                lambda q: model.apply({"params": q}, i, m, l)[0])(p)
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return loss, gsum
+
+        fwdbwd = jax.jit(_fwdbwd)
+
+        def time_fn(fn, fence, n=20, warmup=3):
+            for _ in range(warmup):
+                o = fn()
+            fence(o)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = fn()
+            fence(o)
+            return (time.perf_counter() - t0) / n
+
+        t_fb = time_fn(lambda: fwdbwd(params, ids, mask, labels),
+                       lambda o: (float(o[0]), float(o[1])))
+
+        tx = make_optimizer(OptimConfig(
+            optim="adamw", lr=4e-5, weight_decay=0.1, scheduler="linear",
+            warmup_steps=100, total_steps=10_000))
+        state = TrainState.create(params, tx)
+
+        @(lambda f: jax.jit(f, donate_argnums=(0,)))
+        def step(state, i, m, l):
+            loss, grads = jax.value_and_grad(
+                lambda p: model.apply({"params": p}, i, m, l)[0]
+            )(state.params)
+            return state.apply_gradients(grads), loss
+
+        for _ in range(3):
+            state, loss = step(state, ids, mask, labels)
+        _ = float(loss)
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = step(state, ids, mask, labels)
+        _ = float(loss)
+        t_step = (time.perf_counter() - t0) / n
+        del state
+        return {
+            "fwd_bwd_ms": round(1e3 * t_fb, 1),
+            "full_step_ms": round(1e3 * t_step, 1),
+            "optimizer_delta_ms": round(1e3 * (t_step - t_fb), 1),
+            "ex_per_sec": round(B / t_step, 1),
+            "mfu_pct": round(100 * flops / (t_step * V5E_PEAK_BF16_FLOPS), 1),
+            "mfu_pct_zero_cost_optimizer": round(
+                100 * flops / (t_fb * V5E_PEAK_BF16_FLOPS), 1),
+            "flops_per_step": flops,
+        }
+
+    for use_remat in (True, False):
+        key = "remat_on" if use_remat else "remat_off"
+        out[key] = measure(use_remat)
+        print(json.dumps({key: out[key]}), flush=True)
+        import gc
+
+        gc.collect()
+
+    on, off = out["remat_on"], out["remat_off"]
+    out["verdict"] = {
+        "remat_off_saves_ms": round(
+            on["full_step_ms"] - off["full_step_ms"], 1),
+        "best_mfu_pct": max(on["mfu_pct"], off["mfu_pct"]),
+        "mfu_45_reachable_with_free_optimizer": max(
+            on["mfu_pct_zero_cost_optimizer"],
+            off["mfu_pct_zero_cost_optimizer"]) >= 45.0,
+    }
+    print(json.dumps(out, indent=1))
+    Path("artifacts").mkdir(exist_ok=True)
+    Path("artifacts/headline_levers.json").write_text(
+        json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,9 @@ def main():
                          num_heads=12),
         }
         hf_cfg = HFT5Config(vocab_size=32128, dropout_rate=0.0,
-                            feed_forward_proj="relu", **presets[args.size])
+                            feed_forward_proj="relu",
+                            decoder_start_token_id=0, pad_token_id=0,
+                            **presets[args.size])
         torch.manual_seed(0)
         model = T5ForConditionalGeneration(hf_cfg)
         ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -101,7 +103,16 @@ def main():
 
         tmodel = T5ForConditionalGeneration.from_pretrained(str(ckpt_dir))
         tmodel.eval()
-        B, N, L, T = 1, 2, 16, 4
+        # real hub t5 checkpoints carry decoder_start_token_id=pad=0 in
+        # config.json; a synthetic HFT5Config() default omits it
+        if tmodel.config.decoder_start_token_id is None:
+            tmodel.config.decoder_start_token_id = 0
+            tmodel.config.pad_token_id = 0
+        # N=1: plain torch T5 attends over the whole flat sequence, FiD
+        # encodes passages independently — they only compute the same
+        # function with a single passage (tests/test_t5_parity.py does the
+        # N>1 FiD-reshape parity at toy size)
+        B, N, L, T = 1, 1, 32, 4
         rng = np.random.default_rng(0)
         ids = rng.integers(10, 1000, size=(B, N, L)).astype(np.int32)
         labels = rng.integers(10, 1000, size=(B, T)).astype(np.int32)
@@ -133,15 +144,21 @@ def main():
     from lako_tpu.train.optim import make_optimizer
     from lako_tpu.train.state import TrainState
 
+    from lako_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     dev = jax.devices()[0]
     out["device"] = str(dev)
     model = FiDT5(t5_cfg, dtype=jnp.bfloat16, use_remat=False)
-    bf16 = jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x, jnp.bfloat16), dev), params)
+    # production dtype policy (train/reader.py): f32 master params, bf16
+    # compute — a pure-bf16 param cast makes warmup-sized AdamW updates
+    # (lr 4e-7 at step 1) round away entirely and the loss sits bit-still
+    f32 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x, jnp.float32), dev), params)
     tx = make_optimizer(OptimConfig(optim="adamw", lr=4e-5, weight_decay=0.1,
                                     scheduler="linear", warmup_steps=100,
                                     total_steps=10_000))
-    state = TrainState.create(bf16, tx)
+    state = TrainState.create(f32, tx)
 
     @(lambda f: jax.jit(f, donate_argnums=(0,)))
     def step(state, i, m, l):
@@ -160,8 +177,12 @@ def main():
     out["first_step_s"] = round(time.time() - t0, 1)
     state, loss = step(state, ids, mask, labels)
     l1 = float(loss)
-    out["train_losses"] = [l0, l1]
-    assert np.isfinite(l0) and np.isfinite(l1)
+    state, loss = step(state, ids, mask, labels)
+    l2 = float(loss)
+    out["train_losses"] = [l0, l1, l2]
+    assert np.isfinite(l0) and np.isfinite(l1) and np.isfinite(l2)
+    # same batch each step -> the f32 master params must actually move
+    assert l2 != l0, "params did not update across train steps"
     try:
         ms = dev.memory_stats()
         out["hbm_bytes_in_use"] = int(ms.get("bytes_in_use", -1))
