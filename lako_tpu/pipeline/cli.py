@@ -367,10 +367,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tokenizer", required=True)
     t.add_argument("--n-docs", type=int, default=500)
     t.add_argument("--index-method", default="exact",
-                   choices=["exact", "fast", "approx"],
+                   choices=["exact", "fast", "approx", "pq"],
                    help="exact = faiss-parity f32 scores; fast = bf16 "
                         "scores + exact top-k (recall 0.9966 measured); "
-                        "approx = approx_max_k (recall 0.9927)")
+                        "approx = approx_max_k (recall 0.9927); pq = "
+                        "32x-compressed product quantizer (reference "
+                        "IndexPQ, trained+cached in <index>/pq)")
     t.add_argument("--small-range", action="store_true",
                    help="re-rank each example's existing candidates")
     t.add_argument("--sharded-index", action="store_true",

@@ -333,6 +333,30 @@ def embed_facts_stage(
     return {"n_facts": len(ids), "dim": emb.shape[1], "index_path": out_path}
 
 
+def _load_or_train_pq(index_path: str, n_subquantizers: int = 32,
+                      n_bits: int = 8):
+    """PQ view of a dense index dir: codes live in ``<index_path>/pq`` and are
+    trained once from ``embeddings.npy`` on first use (idempotent — reuse on
+    every later retrieve). Dimensions not divisible by 32 fall back to the
+    largest power-of-two subquantizer count that divides d."""
+    from lako_tpu.retrieval.pq import PQIndex
+
+    pq_dir = Path(index_path) / "pq"
+    if (pq_dir / "meta.json").exists():
+        return PQIndex.load(str(pq_dir))
+    emb = np.load(Path(index_path) / "embeddings.npy")
+    ids = np.load(Path(index_path) / "ids.npy")
+    m = n_subquantizers
+    while m > 1 and emb.shape[1] % m:
+        m //= 2
+    pq = PQIndex.train(emb, n_subquantizers=m, n_bits=n_bits, ids=ids)
+    pq.save(str(pq_dir))
+    get_logger().info(
+        "trained PQ-%dx%d over %d×%d: %.1f MB → %.2f MB", m, n_bits,
+        emb.shape[0], emb.shape[1], emb.nbytes / 1e6, pq.nbytes() / 1e6)
+    return pq
+
+
 def retrieve_stage(
     retriever_cfg: RetrieverConfig,
     model_path: str,
@@ -349,7 +373,9 @@ def retrieve_stage(
     ``sharded=True`` spreads the corpus over the mesh data axis (corpora larger
     than one chip's HBM). ``index_method``: "exact" (faiss-parity f32) |
     "fast" (bf16 scores, recall 0.9966 measured) | "approx"
-    (retrieval/index.py docstring has the measured table)."""
+    (retrieval/index.py docstring has the measured table) | "pq" (the
+    reference's IndexPQ role, src/index.py:22-25: 32× smaller index, trained
+    once from the dense index dir and cached in ``<index_path>/pq``)."""
     corpus = _load_json(corpus_path)
     id_to_sentence = {int(r["id"]): r["sentence"] for r in corpus}
     if n_docs > len(corpus):
@@ -357,7 +383,13 @@ def retrieve_stage(
             "retrieve: n_docs=%d > corpus size %d; retrieving every fact",
             n_docs, len(corpus))
         n_docs = len(corpus)
-    if sharded:
+    if index_method == "pq":
+        if sharded:
+            raise ValueError(
+                "index_method='pq' already compresses the corpus ~32x; it is "
+                "single-chip by design — drop --sharded-index")
+        index = _load_or_train_pq(index_path)
+    elif sharded:
         import numpy as _np
 
         from lako_tpu.core.mesh import make_mesh

@@ -19,6 +19,13 @@ donated state, reference run_okvqa_train.sh:6-10 shapes):
    compares against the ~12-13 ms bandwidth floor (bf16 moments, ~11 GB
    of param/grad/moment traffic at 819 GB/s).
 
+Each lever is measured under BOTH master-param policies: `bf16` (params and
+Adam moments in bf16 — the optimizer-segment lower bound) and `f32` (f32
+master params + f32 moments, bf16 compute via the model dtype — what the
+production train_reader actually runs, lako_tpu/train/reader.py:198 + f32
+model.init). A headline claim must come from an f32-master row; the bf16
+rows bound what a low-precision-state optimizer could buy.
+
 MFU uses bench.py's model-FLOPs formula (6*P*tok, cross-K/V at encoder
 tokens) — remat off executes FEWER flops for the same model step, so its
 MFU gain is a genuine speedup, not an accounting change.
@@ -58,14 +65,22 @@ def main():
     labels = jax.random.randint(rng, (B, T), 0, cfg.vocab_size,
                                 dtype=jnp.int32)
 
-    out = {"config": {"B": B, "N": N, "L": L, "T": T, "size": "large"}}
+    out = {
+        "config": {"B": B, "N": N, "L": L, "T": T, "size": "large"},
+        "master_dtype_note": (
+            "bf16 rows cast params+moments to bf16 (optimizer-segment lower "
+            "bound); f32 rows keep f32 master params/moments with bf16 "
+            "compute, matching production train_reader (reader.py:198)."
+        ),
+    }
 
-    def measure(use_remat):
+    def measure(use_remat, master_dtype):
         model = FiDT5(cfg, dtype=jnp.bfloat16, use_remat=use_remat)
         params = jax.jit(
             lambda r: model.init(r, ids, mask, labels)["params"])(rng)
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), params)
+        if master_dtype == "bf16":
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), params)
         flops = _train_flops_per_step(params, B, N, L, T)
 
         # fwd+bwd only — grads kept live via one fused scalar reduction
@@ -125,22 +140,30 @@ def main():
             "flops_per_step": flops,
         }
 
-    for use_remat in (True, False):
-        key = "remat_on" if use_remat else "remat_off"
-        out[key] = measure(use_remat)
-        print(json.dumps({key: out[key]}), flush=True)
-        import gc
+    import gc
 
-        gc.collect()
+    for master_dtype in ("f32", "bf16"):
+        for use_remat in (True, False):
+            key = ("remat_on" if use_remat else "remat_off") + \
+                f"_{master_dtype}_master"
+            out[key] = measure(use_remat, master_dtype)
+            print(json.dumps({key: out[key]}), flush=True)
+            gc.collect()
 
-    on, off = out["remat_on"], out["remat_off"]
+    on, off = out["remat_on_f32_master"], out["remat_off_f32_master"]
+    on8, off8 = out["remat_on_bf16_master"], out["remat_off_bf16_master"]
     out["verdict"] = {
-        "remat_off_saves_ms": round(
+        # production (f32-master) numbers — the only ones a headline may cite
+        "remat_off_saves_ms_f32": round(
             on["full_step_ms"] - off["full_step_ms"], 1),
-        "best_mfu_pct": max(on["mfu_pct"], off["mfu_pct"]),
+        "best_mfu_pct_f32": max(on["mfu_pct"], off["mfu_pct"]),
+        # bounds
+        "best_mfu_pct_bf16_state": max(on8["mfu_pct"], off8["mfu_pct"]),
         "mfu_45_reachable_with_free_optimizer": max(
             on["mfu_pct_zero_cost_optimizer"],
             off["mfu_pct_zero_cost_optimizer"]) >= 45.0,
+        "optimizer_segment_f32_vs_bf16_ms": [
+            off["optimizer_delta_ms"], off8["optimizer_delta_ms"]],
     }
     print(json.dumps(out, indent=1))
     Path("artifacts").mkdir(exist_ok=True)

@@ -147,6 +147,42 @@ def test_full_pipeline_stages(workdir, capsys):
     assert [[f["id"] for f in ex["fact"]] for ex in fast] == \
         [[f["id"] for f in ex["fact"]] for ex in retrieved]
 
+    # 5a''. --index-method pq: reference IndexPQ role (src/index.py:22-25).
+    # Trains + caches codes under <index>/pq on first use; at this tiny scale
+    # (dsub=1, 256 centroids) quantization is near-lossless so the retrieved
+    # sets must match exact. Then drive the pq output through rerank + hit@k.
+    cli_main(["retrieve", "--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt, "--index", str(wd / "index"),
+              "--corpus", str(wd / "corpus.json"),
+              "--data", str(wd / "eval.json"),
+              "--out", str(wd / "eval_retrieved_pq.json"),
+              "--tokenizer", str(wd / "btok.json"), "--n-docs", "4",
+              "--index-method", "pq"])
+    assert (wd / "index" / "pq" / "meta.json").exists()
+    pq_out = json.loads((wd / "eval_retrieved_pq.json").read_text())
+    assert [sorted(f["id"] for f in ex["fact"]) for ex in pq_out] == \
+        [sorted(f["id"] for f in ex["fact"]) for ex in retrieved]
+    # second run must reuse the cached codes (no retrain) and be deterministic
+    cli_main(["retrieve", "--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt, "--index", str(wd / "index"),
+              "--corpus", str(wd / "corpus.json"),
+              "--data", str(wd / "eval.json"),
+              "--out", str(wd / "eval_retrieved_pq2.json"),
+              "--tokenizer", str(wd / "btok.json"), "--n-docs", "4",
+              "--index-method", "pq"])
+    assert json.loads((wd / "eval_retrieved_pq2.json").read_text()) == pq_out
+    cli_main(["retrieve", "--small-range",
+              "--config", str(wd / "retriever_cfg.json"),
+              "--model-path", retr_ckpt, "--index", str(wd / "index"),
+              "--corpus", str(wd / "corpus.json"),
+              "--data", str(wd / "eval_retrieved_pq.json"),
+              "--out", str(wd / "eval_reranked_pq.json"),
+              "--tokenizer", str(wd / "btok.json")])
+    cli_main(["eval-facts", "--data", str(wd / "eval_reranked_pq.json"),
+              "--hitk", "1", "2", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "include" in out and "stem" in out
+
     # 5b. small-range re-rank
     cli_main(["retrieve", "--small-range",
               "--config", str(wd / "retriever_cfg.json"),
