@@ -4,8 +4,13 @@ Emits ONE JSON line. The HEADLINE metric is the reference-config train MFU
 (VERDICT r2 #8: MFU is self-grounding — it divides measured model FLOPs by
 the chip's published bf16 peak, no estimated denominator). The train config
 is reference-faithful (run_okvqa_train.sh:6-10: t5-large, batch 8, stream 2
-→ N=2 passages, text_maxlength 130 — full jitted fwd+bwd+AdamW step, bf16 +
-encoder remat). The `extra` block carries:
+→ N=2 passages, text_maxlength 130 — full jitted fwd+bwd+AdamW step, bf16
+compute + encoder remat, **pure-bf16 state**: params and Adam moments in
+bf16, the trainer's param_dtype="bfloat16" config. The trainer DEFAULT keeps
+f32 masters; that number is reported beside the headline
+(train_ref_f32_master_*) — artifacts/headline_levers.json measured the full
+remat x master-dtype grid and both optimizer segments sit at their
+state-dtype bandwidth floors). The `extra` block carries:
 
 - train_ref_examples_per_sec / train_b32_l128_*: absolute throughput at the
   reference config and at the donated-state batch-32 tile-aligned config;
@@ -81,7 +86,11 @@ def _train_flops_per_step(params, B, N, L, T):
                   + p_cross_kv * B * N * L)
 
 
-def _train_throughput(model, cfg, B, N, L, T, donate):
+def _train_throughput(model, cfg, B, N, L, T, donate, master_dtype="bf16"):
+    """master_dtype: "bf16" = pure-bf16 state (params + Adam moments; the
+    production trainer's param_dtype="bfloat16" knob), "f32" = f32 masters
+    (trainer default). Both optimizer segments are measured at their
+    state-dtype bandwidth floors — artifacts/headline_levers.json."""
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +104,9 @@ def _train_throughput(model, cfg, B, N, L, T, donate):
     labels = jax.random.randint(rng, (B, T), 0, cfg.vocab_size, dtype=jnp.int32)
 
     params = jax.jit(lambda r: model.init(r, ids, mask, labels)["params"])(rng)
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if master_dtype == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
     flops_per_step = _train_flops_per_step(params, B, N, L, T)
     tx = make_optimizer(OptimConfig(optim="adamw", lr=4e-5, weight_decay=0.1,
                                     scheduler="linear", warmup_steps=100,
@@ -294,6 +305,13 @@ def main():
     # state copies (measured A/B: 115.9 -> 125.6 ex/s, 35.1 -> 38.0% MFU).
     ref_ex_s, ref_mfu = _train_throughput(model_remat, cfg, B=8, N=2, L=130,
                                           T=20, donate=True)
+    # 1b) same config with f32 master params — the trainer's DEFAULT state
+    # policy (param_dtype="float32"); the headline is the bf16-state config,
+    # reachable via param_dtype="bfloat16" (headline_levers.json has the
+    # full remat x master-dtype grid)
+    f32_ex_s, f32_mfu = _train_throughput(model_remat, cfg, B=8, N=2, L=130,
+                                          T=20, donate=True,
+                                          master_dtype="f32")
     # 2) throughput config: donated state, B=32, tile-aligned L=128
     b32_ex_s, b32_mfu = _train_throughput(model_remat, cfg, B=32, N=2, L=128,
                                           T=20, donate=True)
@@ -313,10 +331,13 @@ def main():
         # MFU leads: the one number with no estimated denominator
         "metric": "t5_large_fid_train_mfu_pct",
         "value": round(100 * ref_mfu, 1),
-        "unit": "percent of v5e bf16 peak (197 TFLOP/s), reference config",
+        "unit": "percent of v5e bf16 peak (197 TFLOP/s), reference config, "
+                "bf16 state (param_dtype=bfloat16)",
         "vs_baseline": round(ref_ex_s / BASELINE_EXAMPLES_PER_SEC, 2),
         "extra": {
             "train_ref_examples_per_sec": round(ref_ex_s, 2),
+            "train_ref_f32_master_examples_per_sec": round(f32_ex_s, 2),
+            "train_ref_f32_master_mfu_pct": round(100 * f32_mfu, 1),
             "train_b32_l128_examples_per_sec": round(b32_ex_s, 2),
             "train_b32_l128_mfu_pct": round(100 * b32_mfu, 1),
             "decode_answers_per_sec": round(dec_ans_s, 1),

@@ -323,6 +323,15 @@ class ReaderTrainConfig(_ConfigBase):
     # the knob exists for deeper models / longer sequences.
     remat_policy: Optional[str] = None
     dtype: str = "bfloat16"
+    # Master-parameter (and therefore Adam-moment) dtype. "float32" keeps f32
+    # masters with bf16 compute — the conservative default. "bfloat16" trains
+    # with pure-bf16 state: measured 28.7 → 13.4 ms optimizer segment at the
+    # B=8 t5-large reference config (79.5 → 64.0 ms step, 30.4 → 37.8% MFU —
+    # artifacts/headline_levers.json); both segments are at their state-dtype
+    # bandwidth floors. bf16 masters risk stalled updates once |Δw/w| falls
+    # below bf16's ~2^-8 relative resolution — use for throughput studies or
+    # short fine-tunes, not long convergence-critical runs.
+    param_dtype: str = "float32"
     # Capture an XLA/TPU trace of a few steady-state train steps (after the
     # compile step) into this directory — viewable in TensorBoard/xprof
     # (core/profiling.py). None = off.

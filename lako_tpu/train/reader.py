@@ -167,6 +167,24 @@ def evaluate_reader(
     }
 
 
+def _apply_param_dtype(cfg, params, logger):
+    """Master-state dtype policy (core/config.py param_dtype): "float32"
+    keeps f32 masters (default); "bfloat16" casts params — and therefore the
+    Adam moments tx.init derives from them — to bf16, the measured-floor
+    throughput config (artifacts/headline_levers.json)."""
+    if cfg.param_dtype in ("float32", "f32"):
+        return params
+    if cfg.param_dtype not in ("bfloat16", "bf16"):
+        raise ValueError(
+            f"param_dtype must be float32|bfloat16, got {cfg.param_dtype!r}")
+    logger.info("param_dtype=bfloat16: pure-bf16 master params + moments "
+                "(throughput config; f32 masters are the convergence-safe "
+                "default)")
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+
 @dataclass
 class ReaderTrainResult:
     best_dev_em: float
@@ -240,6 +258,7 @@ def train_reader(
             jnp.zeros((B, cfg.data.answer_maxlength), jnp.int32),
         )
         init_params = variables["params"]
+    init_params = _apply_param_dtype(cfg, init_params, logger)
     use_pp = cfg.mesh.pipe > 1
     best_dev_em, step = 0.0, 0
     # PP full resume (params + optimizer) reads the checkpoint ONCE inside
@@ -250,7 +269,8 @@ def train_reader(
                         if not (reset_params or use_pp) else None)
         params, opt_state, meta = load_checkpoint(resume_from, init_params,
                                                   opt_template)
-        init_params = params
+        # restored leaves carry the CHECKPOINT's dtype — re-apply the policy
+        init_params = _apply_param_dtype(cfg, params, logger)
         if not use_pp:
             init_params = jax.tree_util.tree_map(
                 lambda x: put_global(x, replicated(mesh)), init_params)

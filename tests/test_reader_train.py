@@ -112,3 +112,62 @@ def test_profile_dir_captures_trace(tmp_path):
     assert res.final_step >= 5
     files = list((tmp_path / "trace").rglob("*"))
     assert any(f.is_file() for f in files), "no trace files captured"
+
+
+def test_param_dtype_bf16_trains(tmp_path):
+    """param_dtype="bfloat16" (the headline throughput config,
+    artifacts/headline_levers.json): masters + Adam moments in bf16; the
+    loop must still train and checkpoint. bf16's coarse resolution needs a
+    hotter lr than the f32 overfit test to show clear loss movement."""
+    import jax.numpy as jnp
+
+    from lako_tpu.core.checkpoint import load_checkpoint
+
+    tok = make_tokenizer()
+    train_examples = make_examples(32, n_facts=2, seed=0)
+    eval_examples = make_examples(8, n_facts=2, seed=100)
+    t5_cfg = T5Config(
+        vocab_size=tok.vocab_size, d_model=64, d_kv=16, d_ff=128,
+        num_layers=2, num_decoder_layers=2, num_heads=4,
+        relative_attention_num_buckets=8, dropout_rate=0.0,
+    )
+    cfg = ReaderTrainConfig(
+        model_size="tiny", per_device_batch_size=1, eval_batch_size=8,
+        epochs=6, early_stop=6, eval_max_length=4, use_remat=False,
+        dtype="bfloat16", param_dtype="bfloat16",
+        data=ReaderDataConfig(n_context=2, text_maxlength=24,
+                              answer_maxlength=4, stream=2),
+        optim=OptimConfig(optim="adamw", lr=5e-3, weight_decay=0.0),
+        mesh=MeshConfig(), checkpoint_dir=str(tmp_path), name="bf16state",
+    )
+    result = train_reader(cfg, train_examples, eval_examples, tok,
+                          t5_config=t5_cfg)
+    losses = [h["loss"] for h in result.history]
+    assert all(l == l for l in losses), losses  # finite
+    assert losses[-1] < losses[0], losses
+    # the checkpoint really carries bf16 masters
+    ckpt = tmp_path / "bf16state" / "checkpoint" / "best_dev"
+    import jax
+
+    template = jax.tree_util.tree_map(
+        lambda x: x, result.params) if hasattr(result, "params") else None
+    import numpy as np
+    from flax.serialization import msgpack_restore
+
+    raw = msgpack_restore((ckpt / "params.msgpack").read_bytes())
+    leaves = jax.tree_util.tree_leaves(raw)
+    # numpy has no native bfloat16: bf16 leaves restore as ml_dtypes.bfloat16
+    # (not np.floating), so count bf16 directly and forbid f32 leaves
+    n_bf16 = sum(l.dtype == jnp.bfloat16 for l in leaves)
+    n_f32 = sum(l.dtype == np.float32 for l in leaves)
+    assert n_bf16 > 0 and n_f32 == 0, (n_bf16, n_f32)
+
+
+def test_param_dtype_rejects_unknown():
+    import pytest as _pytest
+
+    from lako_tpu.train.reader import _apply_param_dtype
+
+    cfg = ReaderTrainConfig(param_dtype="fp8")
+    with _pytest.raises(ValueError):
+        _apply_param_dtype(cfg, {}, __import__("logging").getLogger())
