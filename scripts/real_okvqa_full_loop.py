@@ -58,6 +58,13 @@ def main():
                     help="sort each example's candidates answer-bearing-"
                          "first before training: the perfect-retriever "
                          "upper bound the loop's re-rank moves toward")
+    ap.add_argument("--oracle-pretrain-epochs", type=int, default=0,
+                    help="VERDICT r4 #2: first grow a fact-sensitive reader "
+                         "on an ORACLE-ORDERED copy of the data (the "
+                         "full_loop_r4_oracle recipe), then run the real "
+                         "non-oracle loop with that reader as --reader-init "
+                         "— one invocation so tokenizer/vocab stay identical")
+    ap.add_argument("--oracle-pretrain-lr", type=float, default=1e-3)
     ap.add_argument("--n-candidates", type=int, default=20,
                     help="BM25-mined candidate facts per question (the "
                          "re-rank ceiling)")
@@ -223,6 +230,53 @@ def main():
         last = wd / "copy" / "reader_copy" / "checkpoint" / "last"
         reader_init = str(best if best.exists() else last)
 
+    # --- oracle pretraining (VERDICT r4 #2) ----------------------------------
+    # Grow the fact-sensitive reader the r4 oracle run proved growable
+    # (full_loop_r4_oracle.json: em_hit 3.3% vs em_miss 0.4%, shuffle delta
+    # 1.2 pts at 600 epochs under perfect ranking), then hand it to the REAL
+    # loop below as every iteration's warm start. The loop's own data keeps
+    # its BM25 candidate order — only this pretraining stage sees the oracle
+    # ordering, exactly as the reference's readers start from pretrained-T5
+    # capability the loop itself does not provide.
+    if args.oracle_pretrain_epochs > 0:
+        def oracle_sorted(rows):
+            out = []
+            for ex in rows:
+                ans = f" {ex['target'].lower().strip()}"
+                facts = [dict(f) for f in ex["fact"]]
+                hit = [f for f in facts if ans in f["sentence"].lower()]
+                miss = [f for f in facts if ans not in f["sentence"].lower()]
+                out.append({**ex, "fact": hit + miss})
+            return out
+
+        (wd / "oracle_train.json").write_text(
+            json.dumps(oracle_sorted(examples[:n_train])))
+        (wd / "oracle_eval.json").write_text(
+            json.dumps(oracle_sorted(examples[n_train:])))
+        (wd / "oracle_reader.json").write_text(json.dumps({
+            "model_size": args.model_size, "name": "reader_oracle",
+            "checkpoint_dir": str(wd / "oracle"),
+            "per_device_batch_size": 32, "eval_batch_size": 32,
+            "epochs": args.oracle_pretrain_epochs,
+            "early_stop": args.oracle_pretrain_epochs,
+            "eval_every": max(args.eval_every,
+                              args.oracle_pretrain_epochs // 10 or 1),
+            "eval_max_length": 8, "use_remat": False, "dtype": "bfloat16",
+            "data": {"n_context": args.n_context, "text_maxlength": 128,
+                     "answer_maxlength": 8, "stream": 2},
+            "optim": {"optim": "adamw", "lr": args.oracle_pretrain_lr,
+                      "weight_decay": 0.01}}))
+        t0 = time.time()
+        cli(["train-reader", "--config", str(wd / "oracle_reader.json"),
+             "--train-data", str(wd / "oracle_train.json"),
+             "--eval-data", str(wd / "oracle_eval.json"),
+             "--tokenizer", str(wd / "tok.json")] +
+            (["--model-path", reader_init] if reader_init else []))
+        print(f"oracle-pretrain wall: {time.time()-t0:.1f}s", flush=True)
+        best = wd / "oracle" / "reader_oracle" / "checkpoint" / "best_dev"
+        last = wd / "oracle" / "reader_oracle" / "checkpoint" / "last"
+        reader_init = str(best if best.exists() else last)
+
     t0 = time.time()
     loop_args = ["full-loop", "--workdir", str(wd / "loop"),
                  "--reader-config", str(wd / "reader.json"),
@@ -250,6 +304,8 @@ def main():
                           "lr": args.lr,
                           "model_size": args.model_size,
                           "oracle_rerank": args.oracle_rerank,
+                          "oracle_pretrain_epochs": args.oracle_pretrain_epochs,
+                          "oracle_pretrain_lr": args.oracle_pretrain_lr,
                           "copy_pretrain_epochs": args.copy_pretrain_epochs,
                           "copy_repeats": args.copy_repeats,
                           "copy_lr": args.copy_lr,
