@@ -67,13 +67,17 @@ def _kernel(cnt_ref, g_ref, mq_ref, ms_ref, vq_ref, vs_ref,
             u_ref, omq_ref, oms_ref, ovq_ref, ovs_ref,
             *, R, b1, b2, eps, correct_bias, stochastic_round, seed,
             leaf_salt):
+    from lako_tpu.train.optim8 import _exp2_neg_code, _log2_bits
+
     count = cnt_ref[0, 0]
     g = g_ref[...].astype(jnp.float32)
     C = g.shape[1]
 
     m = mq_ref[...].astype(jnp.float32) * ms_ref[...]
     vq_i = vq_ref[...].astype(jnp.int32)       # Mosaic: no u8->f32 cast
-    v = vs_ref[...] * jnp.exp2(-vq_i.astype(jnp.float32) / _K_LOG)
+    # bit-trick 2^(-q/8): exponent-field construction + 3 selected
+    # constants — no exp2 transcendental (the measured compute bound)
+    v = vs_ref[...] * _exp2_neg_code(vq_i)
     v = jnp.where(vq_i == 255, 0.0, v)
 
     m = b1 * m + (1.0 - b1) * g
@@ -102,10 +106,14 @@ def _kernel(cnt_ref, g_ref, mq_ref, ms_ref, vq_ref, vs_ref,
     omq_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     oms_ref[...] = ms
 
-    # requantize v: log-domain uint8 code, q=255 reserved for zero
+    # requantize v: log-domain uint8 code, q=255 reserved for zero.
+    # log2 DIFFERENCE (one per-row extraction) instead of log2(divide):
+    # kills both the per-element divide and the log2 transcendental —
+    # identical op sequence to optim8._quant_unsigned for bit-parity
     vmax = jnp.max(v, axis=1, keepdims=True)
     safe = jnp.where(v > 0, v, 1.0)
-    yv = -jnp.log2(safe / jnp.where(vmax > 0, vmax, 1.0)) * _K_LOG
+    yv = (_log2_bits(jnp.where(vmax > 0, vmax, 1.0))
+          - _log2_bits(safe)) * _K_LOG
     if stochastic_round:
         lo = jnp.floor(yv)
         yv = lo + (_dither_tile(yv.shape, row0, cnt_u,

@@ -247,7 +247,8 @@ def cmd_serve(args):
                       decode_weights_dtype=cfg.decode_weights_dtype,
                       decode_chunk_size=cfg.decode_chunk_size,
                       batch_window_ms=args.batch_window_ms,
-                      mesh_model=args.mesh_model),
+                      mesh_model=args.mesh_model,
+                      engine_policy=args.engine_policy),
         t5_cfg, params, tok,
         retriever=retriever, retriever_params=retriever_params,
         bert_tokenizer=btok, index=index, id_to_sentence=id_to_sentence,
@@ -425,6 +426,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel width for big-model serving "
                         "(t5-3b+); params committed with Megatron specs, "
                         "GSPMD partitions the whole decode")
+    t.add_argument("--engine-policy", default="fixed",
+                   choices=["fixed", "auto"],
+                   help="auto = chunked early-exit decode only when batch "
+                        "occupancy reaches the measured win threshold; "
+                        "fixed = always the configured chunk size")
     t.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("truncate-data", help="keep the first K examples of a JSON dataset")

@@ -46,6 +46,15 @@ class ServiceConfig:
     # Beam-engine self-KV formulation (allslots | gather | flat); greedy
     # ignores it. See ReaderTrainConfig.decode_self_attn_impl.
     decode_self_attn_impl: str = "allslots"
+    # Engine selection per device batch ("fixed" = always decode_chunk_size
+    # as configured; "auto" = pick chunked early-exit decode only when the
+    # batch's REAL occupancy reaches policy_chunked_min_occupancy, full-run
+    # greedy below it). Measured basis (artifacts/serve_latency.json +
+    # docs/PERFORMANCE.md serving section): chunked decode wins offline at
+    # B=128 (~252 vs ~165 ans/s) but LOSES at serving occupancy ~4, where
+    # its extra host-loop dispatches outweigh the early exit.
+    engine_policy: str = "fixed"
+    policy_chunked_min_occupancy: int = 32
     # Dynamic micro-batching for the HTTP server: concurrent requests that
     # arrive within batch_window_ms of each other are merged into ONE device
     # batch (up to batch_size). Amortizes the per-device-call dispatch cost
@@ -103,18 +112,35 @@ class LakoService:
         self.collator = ReaderCollator(cfg.data, tokenizer)
         from lako_tpu.models.t5.decode import make_best_generate_fn
 
-        # num_beams > 1 routes to the ancestry-gather beam engine when the
-        # model supports it (models/t5/beam_engine.py), flax beam otherwise
-        self._generate = make_best_generate_fn(
-            self.model, max_length=cfg.max_length,
-            keep_tokens=cfg.keep_tokens if cfg.num_beams == 1 else None,
-            backend=cfg.decode_backend,
-            kv_dtype=cfg.decode_kv_dtype,
-            weights_dtype=cfg.decode_weights_dtype,
-            chunk_size=cfg.decode_chunk_size,
-            num_beams=cfg.num_beams,
-            self_attn_impl=(cfg.decode_self_attn_impl
-                            if cfg.num_beams > 1 else "allslots"))
+        def _make_gen(chunk_size):
+            # num_beams > 1 routes to the ancestry-gather beam engine when
+            # the model supports it (models/t5/beam_engine.py), flax beam
+            # otherwise
+            return make_best_generate_fn(
+                self.model, max_length=cfg.max_length,
+                keep_tokens=cfg.keep_tokens if cfg.num_beams == 1 else None,
+                backend=cfg.decode_backend,
+                kv_dtype=cfg.decode_kv_dtype,
+                weights_dtype=cfg.decode_weights_dtype,
+                chunk_size=chunk_size,
+                num_beams=cfg.num_beams,
+                self_attn_impl=(cfg.decode_self_attn_impl
+                                if cfg.num_beams > 1 else "allslots"))
+
+        if cfg.engine_policy not in ("fixed", "auto"):
+            raise ValueError(
+                f"engine_policy must be fixed|auto, got {cfg.engine_policy!r}")
+        self._generate = _make_gen(cfg.decode_chunk_size)
+        self._generate_chunked = None
+        if cfg.engine_policy == "auto" and cfg.num_beams == 1:
+            # the auto policy needs BOTH programs: full-run greedy for
+            # low-occupancy batches, chunked early-exit for full ones
+            self._generate_chunked = _make_gen(cfg.decode_chunk_size or 16)
+            if cfg.decode_chunk_size:
+                self._generate = _make_gen(None)
+        # telemetry: ("chunked"|"full", occupancy) per device batch — the
+        # policy's decisions are observable, not assumed
+        self.policy_decisions: List[tuple] = []
 
         self.retriever = retriever
         self.retriever_params = retriever_params
@@ -185,7 +211,15 @@ class LakoService:
             if self._batch_sharding is not None:
                 ids = jax.device_put(ids, self._batch_sharding)
                 pmask = jax.device_put(pmask, self._batch_sharding)
-            tokens, _ = self._generate(self.params, ids, pmask)
+            gen = self._generate
+            if self._generate_chunked is not None:
+                use_chunked = (len(chunk)
+                               >= self.cfg.policy_chunked_min_occupancy)
+                if use_chunked:
+                    gen = self._generate_chunked
+                self.policy_decisions.append(
+                    ("chunked" if use_chunked else "full", len(chunk)))
+            tokens, _ = gen(self.params, ids, pmask)
             decoded = self.tokenizer.batch_decode(np.asarray(tokens))
             for k, item in enumerate(chunk):
                 results.append({

@@ -114,6 +114,48 @@ def _quant_signed(x2d: Array, dither) -> Moment8:
 
 _LOG_STEPS_PER_OCTAVE = 8.0   # 2^(1/8) ~ 9% per code step, range 2^-31.75
 
+# Bit-trick transcendental replacements (round-5 kernel-speed work): the
+# fused update was measured COMPUTE-bound, with exp2/log2 named in the
+# decomposition (ops/adam8_kernel.py). Both the jnp path and the Pallas
+# kernel call THESE functions, so the two paths keep their exact
+# integer-state parity (tests/test_optim8.py::test_fused_kernel_matches_jnp).
+
+
+def _exp2_neg_code(q_i32: Array) -> Array:
+    """Exact-ish 2^(-q/8) for integer codes q in [0, 255] without exp2:
+    2^(-(q>>3)) is built directly in the f32 exponent field; the fractional
+    2^(-(q&7)/8) is a product of three selected constants (one per bit).
+    All integer/select/multiply VPU ops — no transcendental slot."""
+    a = q_i32 >> 3          # q >= 0, so arithmetic shift == logical
+    b = q_i32 & 7
+    base = jax.lax.bitcast_convert_type(
+        ((jnp.int32(127) - a) << 23).astype(jnp.int32), jnp.float32)
+    one = jnp.float32(1.0)
+    frac = (jnp.where((b & 1) != 0, jnp.float32(2.0 ** -0.125), one)
+            * jnp.where((b & 2) != 0, jnp.float32(2.0 ** -0.25), one)
+            * jnp.where((b & 4) != 0, jnp.float32(2.0 ** -0.5), one))
+    return base * frac
+
+
+# degree-4 fit of log2(m) on m in [1,2): max |err| 1.0e-4 (8e-4 of one
+# 1/8-octave code step — far inside the dither noise)
+_LOG2_P = (-0.08001089296345223, 0.6355112409058404, -2.0994026211478034,
+           4.049617286121415, -2.5056148259511994)
+
+
+def _log2_bits(x: Array) -> Array:
+    """log2(x) for positive normal f32 x via exponent extraction + a
+    degree-4 mantissa polynomial (4 FMAs). Subnormal x returns a large
+    negative value (biased exponent 0), which every caller clips."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    e = (bits >> 23) & 0xFF  # positive x -> sign bit 0 -> arith == logical
+    m = jax.lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | 0x3F800000, jnp.float32)  # [1, 2)
+    p = jnp.float32(_LOG2_P[0])
+    for c in _LOG2_P[1:]:
+        p = p * m + jnp.float32(c)
+    return (e - 127).astype(jnp.float32) + p
+
 
 def _quant_unsigned(x2d: Array, dither) -> Moment8:
     """Log-domain 8-bit code for the (nonnegative) second moment.
@@ -128,7 +170,10 @@ def _quant_unsigned(x2d: Array, dither) -> Moment8:
     k = _LOG_STEPS_PER_OCTAVE
     scale = jnp.max(x2d, axis=1, keepdims=True)
     safe = jnp.where(x2d > 0, x2d, 1.0)
-    y = -jnp.log2(safe / jnp.where(scale > 0, scale, 1.0)) * k
+    # log2 difference instead of log2(divide): one (nb,1) extraction + no
+    # per-element divide; _log2_bits replaces the transcendental
+    y = (_log2_bits(jnp.where(scale > 0, scale, 1.0))
+         - _log2_bits(safe)) * k
     if dither is not None:
         lo = jnp.floor(y)
         y = lo + (dither < (y - lo))
@@ -139,8 +184,8 @@ def _quant_unsigned(x2d: Array, dither) -> Moment8:
 
 def _dequant(m: Moment8) -> Array:
     if m.q.dtype == jnp.uint8:      # log code (second moment)
-        qf = m.q.astype(jnp.float32)
-        val = m.scale * jnp.exp2(-qf / _LOG_STEPS_PER_OCTAVE)
+        qi = m.q.astype(jnp.int32)
+        val = m.scale * _exp2_neg_code(qi)
         return jnp.where(m.q == 255, 0.0, val)
     return m.q.astype(jnp.float32) * m.scale
 

@@ -107,6 +107,11 @@ def main():
     ap.add_argument("--rates", type=float, nargs="*",
                     default=[2.0, 5.0, 10.0, 20.0])
     ap.add_argument("--out", default="artifacts/serve_latency.json")
+    ap.add_argument("--knee", action="store_true",
+                    help="escalate offered rate (x1.5 steps) until p99 blows "
+                         "up: the single-chip saturation point, measured "
+                         "with engine_policy=auto")
+    ap.add_argument("--knee-max-rate", type=float, default=200.0)
     args = ap.parse_args()
 
     import jax
@@ -202,6 +207,42 @@ def main():
     r["batcher"] = batcher_b.stats()
     results["beam4_microbatch"] = r
     print(json.dumps(r), flush=True)
+
+    # ---- saturation knee (VERDICT r4 #8): escalate the offered rate until
+    # p99 blows past the knee criterion (5x the lowest-rate p99, or >20% of
+    # sent requests unanswered within the run) — with engine_policy="auto"
+    # so the occupancy-based greedy/chunked choice is exercised under load
+    if args.knee:
+        svc_a = build_service(engine_policy="auto",
+                              policy_chunked_min_occupancy=args.batch // 2,
+                              decode_chunk_size=8)
+        warm(svc_a)
+        batcher_a = MicroBatcher(svc_a, args.batch, args.window_ms / 1e3)
+        knee_rows, base_p99 = [], None
+        rate = args.rates[-1]
+        while rate <= args.knee_max_rate:
+            batcher_a.batch_occupancy.clear()
+            svc_a.policy_decisions.clear()
+            r = run_load(lambda q: batcher_a.submit(dict(q, fact=FACT)),
+                         rate, args.duration, seed=int(rate))
+            r["batcher"] = batcher_a.stats()
+            from collections import Counter
+
+            r["engine_decisions"] = dict(Counter(
+                d[0] for d in svc_a.policy_decisions))
+            knee_rows.append(r)
+            print(json.dumps(r), flush=True)
+            if base_p99 is None:
+                base_p99 = r["p99_ms"]
+            blown = (r["p99_ms"] > 5 * base_p99
+                     or r["completed"] < 0.8 * r["sent"])
+            if blown:
+                results["knee_rate_hz"] = rate
+                break
+            rate = round(rate * 1.5, 1)
+        results["knee_sweep_auto_policy"] = knee_rows
+        if "knee_rate_hz" not in results:
+            results["knee_rate_hz"] = None  # not reached within knee_max_rate
 
     print(json.dumps(results, indent=1))
     Path(args.out).parent.mkdir(exist_ok=True)

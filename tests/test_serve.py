@@ -267,3 +267,49 @@ def test_tp_service_matches_single_device():
 
     with pytest.raises(ValueError):
         build(3)    # 8 devices not divisible by 3
+
+
+def test_engine_policy_auto_picks_by_occupancy():
+    """engine_policy="auto": full-run greedy below the occupancy threshold,
+    chunked early-exit at/above it — and both routes return identical
+    tokens for identical inputs (greedy is deterministic)."""
+    tok = make_tokenizer()
+    t5 = T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
+                  num_layers=1, num_decoder_layers=1, num_heads=2,
+                  relative_attention_num_buckets=8, dropout_rate=0.0)
+    data_cfg = ReaderDataConfig(n_context=2, text_maxlength=16,
+                                answer_maxlength=4, stream=2)
+    model = FiDT5(t5)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 16), jnp.int32),
+                        jnp.ones((1, 2, 16), bool),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+
+    def make(policy):
+        return LakoService(
+            ServiceConfig(batch_size=4, max_length=6, n_context=2,
+                          data=data_cfg, dtype="float32",
+                          engine_policy=policy,
+                          policy_chunked_min_occupancy=3,
+                          decode_chunk_size=2),
+            t5, params, tok)
+
+    svc = make("auto")
+    reqs = [{"question": f"what sound does animal {i} make?",
+             "caption": "an animal",
+             "fact": [{"sentence": "a cow says moo.", "id": 1}]}
+            for i in range(4)]
+    low = svc.answer_batch(reqs[:1])       # occupancy 1 < 3 -> full
+    high = svc.answer_batch(reqs)          # occupancy 4 >= 3 -> chunked
+    assert svc.policy_decisions == [("full", 1), ("chunked", 4)], \
+        svc.policy_decisions
+    # both engines answer identically (same params, greedy)
+    assert high[0]["answer"] == low[0]["answer"]
+
+    fixed = make("fixed")
+    fixed.answer_batch(reqs)
+    assert fixed.policy_decisions == []    # policy inactive
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make("adaptive")
