@@ -73,6 +73,11 @@ def main():
                          "previous one (reference load_path behavior)")
     ap.add_argument("--out", default=None,
                     help="also copy the loop history JSON here")
+    ap.add_argument("--reader-init", default=None,
+                    help="existing checkpoint every loop iteration's reader "
+                         "starts from (e.g. a previous run's oracle-pretrain "
+                         "checkpoint); copy/oracle pretrain stages, when "
+                         "enabled, train onward from it and override it")
     args = ap.parse_args()
 
     import jax
@@ -177,7 +182,7 @@ def main():
     # only strategy that fits this data. The loop then starts every
     # iteration's reader from this base (--reader-init), exactly like the
     # reference starts every iteration from t5 pretrained weights.
-    reader_init = None
+    reader_init = args.reader_init
     if args.copy_pretrain_epochs > 0:
         import random
 

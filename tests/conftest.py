@@ -25,6 +25,44 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Test tiers (VERDICT r4 #7). The smoke tier is everything NOT in the
+# heavy set: `pytest -m smoke` verifies the core in minutes on a fresh
+# checkout; `pytest -m "not smoke"` runs the multi-minute PP/scan/
+# multiprocess/e2e tier; `pytest -m tpu` needs the real chip. Membership
+# below is from a measured --durations=0 run on this host (files whose
+# tests sum to >60 s); slow/tpu-marked tests are heavy by definition.
+_HEAVY_FILES = {
+    "test_pp_1f1b.py",
+    "test_pp_train.py",
+    "test_pipeline_pp.py",
+    "test_3b_composition.py",
+    "test_scan_model.py",
+    "test_multiprocess.py",
+    "test_full_loop.py",
+    "test_pipeline.py",
+    "test_reader_train.py",
+    "test_flash_streamed.py",
+    "test_span_fuzz.py",
+    "test_engine_tp.py",
+    "test_resume_preempt.py",
+    "test_optim8.py",
+    "test_hypernym_lxmert.py",
+    "test_tpu_smoke.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    # 1) auto-mark the smoke tier
+    for item in items:
+        heavy = ("slow" in item.keywords or "tpu" in item.keywords
+                 or item.fspath.basename in _HEAVY_FILES)
+        if not heavy:
+            item.add_marker(pytest.mark.smoke)
+    # 2) run on-chip tests FIRST in a full-suite invocation: the r4 full
+    # run timed the TPU smoke test out purely because 40+ minutes of CPU
+    # tests had saturated the host by the time it started
+    items.sort(key=lambda it: 0 if "tpu" in it.keywords else 1)
+
 
 @pytest.fixture(scope="session")
 def rng():
