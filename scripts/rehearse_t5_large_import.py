@@ -149,6 +149,12 @@ def main():
     enable_compilation_cache()
     dev = jax.devices()[0]
     out["device"] = str(dev)
+    # self-describing artifact (advisor r4 #4): record the state-dtype policy
+    # and whether the CPU-parity leg ran, so a re-run can't silently drop the
+    # disclosures that were hand-added to the r4 artifact.
+    out["dtype_policy"] = ("f32 master params + bf16 compute "
+                           "(train/reader.py production policy)")
+    out["parity_skipped"] = bool(args.skip_parity)
     model = FiDT5(t5_cfg, dtype=jnp.bfloat16, use_remat=False)
     # production dtype policy (train/reader.py): f32 master params, bf16
     # compute — a pure-bf16 param cast makes warmup-sized AdamW updates
