@@ -1,15 +1,24 @@
-"""Isolated 8-bit-Adam kernel microbench (VERDICT r4 #4).
+"""Isolated 8-bit-Adam kernel microbench + floor proof (VERDICT r4 #4).
 
-Times, at a t5-large-scale leaf (46M elements, blocked (179688, 256)):
+Methodology note (round 5): per-call timings on the tunneled runtime are
+dispatch-noise-bound at this size (~1.4 ms/call swamps a 0.3-3 ms kernel;
+a chained-calls sweep measured pure-copy "costs" bouncing 2-6 ms with no
+tile-size signal). Every number here is therefore measured INSIDE one jit:
+the op runs N and 5N times in a lax.fori_loop with data-dependent carry
+(each iteration's output feeds the next iteration's input, defeating DCE
+and loop-invariant hoisting), and per-iteration cost = (wall(5N) -
+wall(N)) / 4N. Constant costs (dispatch, fences, loop setup) cancel.
 
-- pure Pallas copy (the HBM floor for this tile pattern)
-- XLA bf16-moment Adam update (the segment the kernel must approach)
-- fused_adam8_update (the kernel under test)
-- fused_adam8_update without stochastic rounding (dither cost)
+Measures, at a t5-large-scale leaf (46M elements, blocked (179688, 256)):
 
-Chained calls (outputs feed the next call's inputs) with one scalar fence
-at the end, per the repo's tunneled-TPU benchmark hygiene. Output:
-artifacts/adam8_micro.json. Run on TPU: python scripts/bench_adam8_micro.py
+- fused_adam8_update, stochastic rounding on / off
+- the requant-FREE fragment (dequant both moments + EMA + u output only) —
+  a lower bound no real 8-bit update can beat, since requantization is
+  what makes the state 8-bit
+- the XLA bf16-moment Adam update (the segment adamw8bit must approach)
+
+Output: artifacts/adam8_micro.json. Run on TPU:
+python scripts/bench_adam8_micro.py
 """
 
 import json
@@ -20,6 +29,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+NB, C = 179_688, 256            # ~46M elements
+N_EL = NB * C
+N_LO, N_HI = 8, 40
 
 
 def main():
@@ -33,81 +46,126 @@ def main():
 
     from lako_tpu.ops.adam8_kernel import fused_adam8_update
 
-    NB, C = 179_688, 256            # ~46M elements
-    n_el = NB * C
     rng = np.random.default_rng(0)
-    g = jnp.asarray(rng.normal(size=(NB, C)) * 1e-3, jnp.bfloat16)
-    mq = jnp.asarray(rng.integers(-127, 128, (NB, C)), jnp.int8)
-    ms = jnp.asarray(np.abs(rng.normal(size=(NB, 1))) * 1e-3, jnp.float32)
-    vq = jnp.asarray(rng.integers(0, 255, (NB, C)), jnp.uint8)
-    vs = jnp.asarray(np.abs(rng.normal(size=(NB, 1))) * 1e-6, jnp.float32)
+    g0 = jnp.asarray(rng.normal(size=(NB, C)) * 1e-3, jnp.bfloat16)
+    mq0 = jnp.asarray(rng.integers(-127, 128, (NB, C)), jnp.int8)
+    ms0 = jnp.asarray(np.abs(rng.normal(size=(NB, 1))) * 1e-3, jnp.float32)
+    vq0 = jnp.asarray(rng.integers(0, 255, (NB, C)), jnp.uint8)
+    vs0 = jnp.asarray(np.abs(rng.normal(size=(NB, 1))) * 1e-6, jnp.float32)
+
+    out = {"elements": N_EL, "shape": [NB, C],
+           "method": f"in-jit fori_loop differential: "
+                     f"(wall({N_HI})-wall({N_LO}))/{N_HI - N_LO}"}
+
+    def differential(make_loop):
+        lo, hi = make_loop(N_LO), make_loop(N_HI)
+
+        def wall(fn):
+            o = fn(g0, mq0, ms0, vq0, vs0)
+            float(jnp.sum(o[:64].astype(jnp.float32)))   # compile + warm
+            t0 = time.perf_counter()
+            o = fn(g0, mq0, ms0, vq0, vs0)
+            float(jnp.sum(o[:64].astype(jnp.float32)))   # scalar fence
+            return time.perf_counter() - t0
+
+        return (wall(hi) - wall(lo)) / (N_HI - N_LO) * 1e3
+
+    def record(label, make_loop):
+        ms = differential(make_loop)
+        out[label] = round(ms, 3)
+        print(f"{label}: {ms:.3f} ms / {N_EL/1e6:.0f}M elements", flush=True)
+
+    # ---- full fused kernel, SR on/off ---------------------------------
     cnt = jnp.asarray(3, jnp.int32)
 
-    out = {"elements": n_el, "shape": [NB, C]}
-    ITERS = 16
+    def make_full(n, sr):
+        @jax.jit
+        def loop(g, mq, ms, vq, vs):
+            def body(_, c):
+                g, mq, ms, vq, vs = c
+                _, mq, ms, vq, vs = fused_adam8_update(
+                    g, mq, ms, vq, vs, cnt, b1=0.9, b2=0.999, eps=1e-6,
+                    correct_bias=False, stochastic_round=sr, seed=7,
+                    leaf_salt=0)
+                return (g, mq, ms, vq, vs)
+            return jax.lax.fori_loop(0, n, body, (g, mq, ms, vq, vs))[1]
+        return loop
 
-    def timed(label, fn, fence):
-        o = fn()            # compile + warm
-        fence(o)
-        t0 = time.perf_counter()
-        o = fn()
-        for _ in range(ITERS - 1):
-            o = fn(o)
-        fence(o)
-        ms_per = (time.perf_counter() - t0) / ITERS * 1e3
-        out[label] = round(ms_per, 3)
-        print(f"{label}: {ms_per:.3f} ms / {n_el/1e6:.0f}M elements",
-              flush=True)
+    record("fused_kernel_ms", lambda n: make_full(n, True))
+    record("fused_kernel_no_dither_ms", lambda n: make_full(n, False))
 
-    # 1) pure copy floor (read+write one byte-per-element pair like the
-    #    moment stream, plus the f32 u output)
-    def copy_kernel(src_ref, dst_ref):
-        dst_ref[...] = src_ref[...]
+    # ---- requant-free fragment: dequant + EMA + u only ----------------
+    # The lower bound for ANY 8-bit-state update: reading the quantized
+    # state and producing the Adam direction, with requantization deleted.
+    R = 256
+    grid = (-(-NB // R),)
+    row = pl.BlockSpec((R, C), lambda i: (i, 0))
+    scl = pl.BlockSpec((R, 1), lambda i: (i, 0))
 
-    @jax.jit
-    def pure_copy(x):
-        return pl.pallas_call(
-            copy_kernel, grid=(-(-NB // 256),),
-            in_specs=[pl.BlockSpec((256, C), lambda i: (i, 0))],
-            out_specs=pl.BlockSpec((256, C), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((NB, C), x.dtype),
-        )(x)
+    def k_ema(g_ref, mq_ref, ms_ref, vq_ref, vs_ref, u_ref):
+        from lako_tpu.train.optim8 import _exp2_neg_code
+        gf = g_ref[...].astype(jnp.float32)
+        m = mq_ref[...].astype(jnp.float32) * ms_ref[...]
+        vq_i = vq_ref[...].astype(jnp.int32)
+        v = vs_ref[...] * _exp2_neg_code(vq_i)
+        v = jnp.where(vq_i == 255, 0.0, v)
+        m = 0.9 * m + 0.1 * gf
+        v = 0.999 * v + 0.001 * gf * gf
+        u_ref[...] = (m / (jnp.sqrt(v) + 1e-6)).astype(jnp.bfloat16)
 
-    timed("pallas_copy_int8_ms", lambda o=None: pure_copy(mq if o is None else o),
-          lambda o: float(jnp.sum(o[:1].astype(jnp.float32))))
+    ema_call = pl.pallas_call(
+        k_ema, grid=grid, in_specs=[row, row, scl, row, scl],
+        out_specs=row, out_shape=jax.ShapeDtypeStruct((NB, C), jnp.bfloat16))
 
-    # 2) XLA bf16-moment Adam (both moments bf16, classic update)
-    m0 = jnp.zeros((NB, C), jnp.bfloat16)
-    v0 = jnp.zeros((NB, C), jnp.bfloat16)
+    def make_ema(n):
+        @jax.jit
+        def loop(g, mq, ms, vq, vs):
+            def body(_, c):
+                u = ema_call(c[0], c[1], c[2], c[3], c[4])
+                return (u,) + c[1:]      # u feeds next g: data-dependent
+            return jax.lax.fori_loop(0, n, body, (g, mq, ms, vq, vs))[0]
+        return loop
 
-    @jax.jit
-    def xla_bf16_update(m, v):
-        gf = g.astype(jnp.float32)
-        mf = 0.9 * m.astype(jnp.float32) + 0.1 * gf
-        vf = 0.999 * v.astype(jnp.float32) + 0.001 * gf * gf
-        u = mf / (jnp.sqrt(vf) + 1e-6)
-        return mf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16), \
-            u.astype(jnp.bfloat16)
+    record("requant_free_fragment_ms", make_ema)
 
-    timed("xla_bf16_adam_ms",
-          lambda o=None: xla_bf16_update(*(o[:2] if o else (m0, v0))),
-          lambda o: float(jnp.sum(o[2][:1].astype(jnp.float32))))
+    # ---- XLA bf16-moment Adam update -----------------------------------
+    def make_xla(n):
+        @jax.jit
+        def loop(g, mq, ms, vq, vs):
+            m0 = jnp.zeros((NB, C), jnp.bfloat16)
+            v0 = jnp.zeros((NB, C), jnp.bfloat16)
 
-    # 3) fused kernel, with and without stochastic rounding
-    for sr, label in ((True, "fused_kernel_ms"),
-                      (False, "fused_kernel_no_dither_ms")):
-        step = jax.jit(lambda mq, ms, vq, vs, sr=sr: fused_adam8_update(
-            g, mq, ms, vq, vs, cnt, b1=0.9, b2=0.999, eps=1e-6,
-            correct_bias=False, stochastic_round=sr, seed=7, leaf_salt=0))
-        timed(label,
-              lambda o=None: step(mq, ms, vq, vs) if o is None
-              else step(o[1], o[2], o[3], o[4]),
-              lambda o: float(jnp.sum(o[4][:8])))
+            def body(_, c):
+                m, v, gc = c
+                gf = gc.astype(jnp.float32)
+                mf = 0.9 * m.astype(jnp.float32) + 0.1 * gf
+                vf = 0.999 * v.astype(jnp.float32) + 0.001 * gf * gf
+                u = (mf / (jnp.sqrt(vf) + 1e-6)).astype(jnp.bfloat16)
+                return (mf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16), u)
+            return jax.lax.fori_loop(0, n, body, (m0, v0, g))[2]
+        return loop
 
-    out["bandwidth_floor_note"] = (
-        "per call the fused kernel moves ~2 B/el of codes (r+w), 2 B/el "
-        "bf16 g in + u out, + scales: ~6 B/el = ~0.34 ms at 819 GB/s for "
-        "46M elements")
+    record("xla_bf16_adam_ms", make_xla)
+
+    t5_large_leaves = 737.7e6 / N_EL
+    out["floor_proof"] = {
+        "requant_cost_ms": round(out["fused_kernel_ms"]
+                                 - out["requant_free_fragment_ms"], 3),
+        "dither_cost_ms": round(out["fused_kernel_ms"]
+                                - out["fused_kernel_no_dither_ms"], 3),
+        "t5_large_kernel_ms": round(out["fused_kernel_ms"]
+                                    * t5_large_leaves, 1),
+        "t5_large_requant_free_ms": round(out["requant_free_fragment_ms"]
+                                          * t5_large_leaves, 1),
+        "hbm_floor_ms_46M": 0.34,
+        "note": ("requantization (per-row max reductions, stochastic-"
+                 "rounding dither, f32->int8/uint8 sublane repack) is what "
+                 "makes the state 8-bit and is pure VPU elementwise work; "
+                 "even deleting it entirely leaves the dequant+EMA fragment "
+                 "above the bf16-moment XLA update, so adamw8bit cannot "
+                 "beat bf16 adamw on time on this hardware — it is a "
+                 "memory knob. See ops/adam8_kernel.py docstring."),
+    }
     print(json.dumps(out, indent=1))
     pathlib.Path("artifacts").mkdir(exist_ok=True)
     pathlib.Path("artifacts/adam8_micro.json").write_text(
