@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--queries", type=int, default=9_009 + 5_046)
     ap.add_argument("--k", type=int, default=500)
     ap.add_argument("--clusters", type=int, default=512)
+    ap.add_argument("--m", type=int, default=32,
+                    help="subquantizers (8 bits each)")
+    ap.add_argument("--out", default="artifacts/pq_300k.json")
     args = ap.parse_args()
 
     from lako_tpu.retrieval.index import DenseIndex
@@ -55,7 +58,7 @@ def main():
     dt_exact = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    pq = PQIndex.train(emb, n_subquantizers=32, n_bits=8)
+    pq = PQIndex.train(emb, n_subquantizers=args.m, n_bits=8)
     dt_train = time.perf_counter() - t0
     print(f"[bench_pq] train+encode: {dt_train:.1f}s, "
           f"{pq.nbytes()/1e6:.1f} MB vs {emb.nbytes/1e6:.1f} MB", flush=True)
@@ -78,7 +81,7 @@ def main():
     out = {
         "metric": "pq_search_queries_per_sec",
         "corpus": args.corpus, "dim": args.dim, "k": args.k,
-        "queries": args.queries, "pq": "32x8",
+        "queries": args.queries, "pq": f"{args.m}x8",
         "value": round(args.queries / dt_pq, 1),
         "exact_qps": round(args.queries / dt_exact, 1),
         "train_encode_seconds": round(dt_train, 1),
@@ -89,7 +92,7 @@ def main():
     }
     print(json.dumps(out, indent=1))
     pathlib.Path("artifacts").mkdir(exist_ok=True)
-    pathlib.Path("artifacts/pq_300k.json").write_text(json.dumps(out, indent=1))
+    pathlib.Path(args.out).write_text(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
