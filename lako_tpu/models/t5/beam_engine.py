@@ -81,6 +81,64 @@ from lako_tpu.models.t5.engine import (
 Array = jax.Array
 
 
+def blockwise_top_m(logits: Array, scores: Array, m: int,
+                    block: int = 1004):
+    """Exact top-m of ``(scores[:, :, None] + log_softmax(logits)).reshape(
+    B, K*V)`` without running ``lax.top_k`` over the full K·V width.
+
+    XLA's top_k over (B, K·V=128512) costs ~1.06 ms/step at the reference
+    beam shape — ~13x its read-bandwidth floor (scripts/bench_beam_parts.py).
+    This uses a block-max prefilter that is provably exact, tie-breaks
+    included:
+
+    1. block maxes of the candidate scores (a max-reduce, bandwidth-bound,
+       reads the bf16 logits not the f32 candidates);
+    2. top-m BLOCKS by block max (top_k over K·V/block elements);
+    3. final top_k over only the m gathered blocks (m·block elements).
+
+    Exactness: if element x is in the global top-m (counting ties by lower
+    index, lax.top_k's rule), fewer than m elements beat it; every block
+    ranked above x's block contributes a distinct element beating x, so x's
+    block is within the top-m blocks. Gathered blocks are re-sorted into
+    ascending block order so the final top_k's positional tie-break equals
+    the global index order.
+
+    log_softmax is folded in as a per-(b,k) additive constant
+    ``scores - logsumexp(logits)`` — block maxes and the final top_k shift
+    with it, so ordering is computed on raw logits plus a scalar. The lse
+    reduction is blockwise (same f32 upcast per element as
+    ``log_softmax(logits.astype(f32))``; summation ORDER differs, so scores
+    can move by float ulps vs the topk path — token parity is pinned by
+    tests/test_beam_engine.py::test_blockwise_select_matches).
+
+    Returns (top_scores (B, m) f32, top_idx (B, m) int32 into K·V).
+    """
+    B, K, V = logits.shape
+    if V % block:
+        raise ValueError(f"block {block} must divide vocab {V}")
+    G = V // block
+    lx = logits.reshape(B, K, G, block)
+    lf = lx.astype(jnp.float32)
+    bmax = jnp.max(lf, axis=-1)                            # (B, K, G)
+    rowmax = jnp.max(bmax, axis=-1)                        # (B, K)
+    se = jnp.sum(jnp.exp(lf - rowmax[:, :, None, None]), axis=-1)
+    lse = rowmax + jnp.log(jnp.sum(se, axis=-1))           # (B, K)
+    adj = scores - lse                                     # (B, K)
+    cand_bmax = (bmax + adj[:, :, None]).reshape(B, K * G)
+    _, blk = jax.lax.top_k(cand_bmax, m)                   # (B, m)
+    blk = jnp.sort(blk, axis=-1)                           # ascending: keeps
+    #                                           global-index tie-break order
+    gathered = jnp.take_along_axis(
+        lx.reshape(B, K * G, block), blk[:, :, None], axis=1
+    ).astype(jnp.float32)                                  # (B, m, block)
+    adj_g = jnp.take_along_axis(adj, blk // G, axis=1)     # (B, m)
+    gcand = gathered + adj_g[:, :, None]
+    ts, pos = jax.lax.top_k(gcand.reshape(B, m * block), m)
+    src_blk = jnp.take_along_axis(blk, pos // block, axis=1)
+    top_idx = src_blk * block + pos % block
+    return ts, top_idx.astype(jnp.int32)
+
+
 class BeamEngine:
     """Beam-search FiD decode with stacked decoder weights and an
     append-only, ancestry-indexed self-KV cache.
@@ -89,12 +147,44 @@ class BeamEngine:
 
         eng = BeamEngine(model, max_length=50, num_beams=4)
         tokens = eng.generate(params, input_ids, mask)   # (B, max_length-1)
+
+    Round-5 optimization pass (t5-large B=128 beams=4, the reference eval
+    config; artifacts/{beam_ablate,cache_alias,beam_ab}.json):
+
+    - In-situ ablation of the 36 ms step: self-attn 19.3 ms, cache write
+      13.7 ms, cross-attn 12.6 ms, top-2K select 0.54 ms (costs measured by
+      deleting each part from the real program — they overlap, so they sum
+      past 36).
+    - HLO (scripts/dump_beam_hlo.py) + an isolated scan microbench
+      (scripts/bench_cache_alias.py) showed the (l,B,h,d,K,S) caches get a
+      d-minor 64->128 lane-padded layout whose per-step dynamic-update-slice
+      is a full padded copy (the isolated pattern: 303 ms -> 2.5 ms when the
+      step axis leads). Three cache layouts were built to exploit that —
+      ``packed`` (flat m=s*K+k, greedy-engine-like lane writes),
+      ``stepmajor`` ((l,S,B,K,h*d) slab writes), ``fusedkv`` (one 2d=128
+      cache, half the copy bytes) — and ALL LOSE in the full engine:
+      38.1 / 48.3 / 62.7 ans/s vs allslots 72.5. The isolated aliasing win
+      does not survive composition: what the alternative layouts save on the
+      write they repay in attention-matmul layout (stepmajor's s-leading
+      dots, packed's K-times-wider select einsum) and in the transposes XLA
+      inserts to feed them. Kept as opt-in knobs so the numbers stay
+      reproducible.
+    - ``blockwise`` top-2K selection (``blockwise_top_m``) replaces the
+      full-width lax.top_k over K*V=128,512 and is the one composition-
+      surviving win: allslots 72.5 -> 72.9, gather 73.2 -> 74.2 ans/s.
+      It is exact (tie-breaks included; oracle-pinned) so ``select_impl``
+      defaults to "auto" = blockwise whenever the vocab factors.
+    - Net best known: gather+blockwise 74.2 ans/s (+2.3% over the r3
+      default); the DEFAULT stays allslots+auto (72.9) because allslots is
+      the formulation whose f32 semantics the HF-parity tests pin exactly.
     """
 
     def __init__(self, model, max_length: int = 50, num_beams: int = 4,
                  length_penalty: float = 1.0,
                  layer_unroll: Optional[int] = None,
-                 self_attn_impl: str = "allslots"):
+                 self_attn_impl: str = "allslots",
+                 select_impl: str = "auto",
+                 select_block: int = 251):
         cfg = model.config
         if not engine_supported(cfg):
             raise ValueError(
@@ -102,10 +192,22 @@ class BeamEngine:
                 "(cross_attention_stride unset); use models.t5.beam instead")
         if num_beams < 1:
             raise ValueError("num_beams must be >= 1")
-        if self_attn_impl not in ("allslots", "gather", "flat"):
+        if self_attn_impl not in ("allslots", "gather", "flat", "packed",
+                                  "stepmajor", "fusedkv"):
             raise ValueError(
-                f"self_attn_impl must be allslots|gather|flat, "
-                f"got {self_attn_impl!r}")
+                f"self_attn_impl must be allslots|gather|flat|packed"
+                f"|stepmajor|fusedkv, got {self_attn_impl!r}")
+        if select_impl not in ("auto", "topk", "blockwise"):
+            raise ValueError(
+                f"select_impl must be auto|topk|blockwise, "
+                f"got {select_impl!r}")
+        if select_impl == "auto":
+            # blockwise needs block | vocab; fall back to plain top_k when
+            # the vocab doesn't factor (e.g. tiny test vocabs)
+            select_impl = ("blockwise"
+                           if cfg.vocab_size % select_block == 0
+                           and cfg.vocab_size // select_block >= 2
+                           else "topk")
         self.model = model
         self.cfg = cfg
         self.max_length = max_length
@@ -114,7 +216,20 @@ class BeamEngine:
         self.length_penalty = float(length_penalty)
         self.layer_unroll = (cfg.num_decoder_layers if layer_unroll is None
                              else layer_unroll)
+        # packed cache sizing: position m = s*K + k in a flat (l,B,h,d,M)
+        # cache; pad S so M is a 128-lane multiple when K allows it (K | 128)
+        steps = max_length - 1
+        if self_attn_impl == "packed":
+            if 128 % num_beams == 0:
+                per_lane = 128 // num_beams
+                self.steps_pad = -(-steps // per_lane) * per_lane
+            else:
+                self.steps_pad = steps
+        else:
+            self.steps_pad = steps
         self.self_attn_impl = self_attn_impl
+        self.select_impl = select_impl
+        self.select_block = select_block
         self.dtype = model.dtype
         self._generate = jax.jit(self._generate_impl)
 
@@ -190,9 +305,52 @@ class BeamEngine:
         # wins do not survive the full engine step, so the default stays
         # "allslots" — it is the formulation whose f32 semantics the
         # HF-parity tests pin exactly; "gather" is an opt-in +1.5%.
-        S = sk.shape[-1]
-        pos = jnp.arange(S)
-        if self.self_attn_impl == "gather":
+        # - "packed"/"stepmajor"/"fusedkv": three cache layouts built in r5
+        #   to attack the 13.7 ms/step cache write the in-situ ablation
+        #   found (artifacts/beam_ablate.json; HLO via scripts/
+        #   dump_beam_hlo.py shows the (B,h,d,K,S) cache gets a d-minor
+        #   64→128 lane-padded layout whose per-step dynamic-update-slice is
+        #   a full padded copy, not an in-place write). packed: flat
+        #   (B,h,d,M) with m = s*K+k, mirroring the greedy engine's
+        #   in-place-friendly structure; stepmajor: (l,S,B,K,h*d) so the
+        #   write is a second-major slab; fusedkv: one (B,h,2d,K,S) cache,
+        #   lane axis 2d=128 exact, one write for K and V. ALL THREE LOSE
+        #   in the full engine (38.1 / 48.3 / 62.7 vs allslots 72.5 ans/s,
+        #   artifacts/beam_ab.json) — the write savings are repaid in
+        #   attention-matmul layouts and XLA-inserted transposes. Kept as
+        #   opt-in knobs; see the class docstring for the evidence chain.
+        if self.self_attn_impl == "packed":
+            M = sk.shape[-1]
+            Sp = M // K
+            pos = jnp.arange(Sp)
+            la = jnp.einsum("bqhd,bhdm->bqhm", q, sk).astype(jnp.float32)
+            la = la.reshape(B, K, h, Sp, K)
+            # onehot here is (B, Kq, Sp, Kc)
+            logits = jnp.einsum("bqhsc,bqsc->bqhs", la, onehot)
+        elif self.self_attn_impl == "stepmajor":
+            S = sk.shape[0]
+            pos = jnp.arange(S)
+        elif self.self_attn_impl == "fusedkv":
+            # one (B, h, 2d, K, S) cache, K rows in [:d], V rows in [d:]:
+            # the lane axis is 2d = 128 exact (no 64->128 pad, half the
+            # physical copy bytes) and ONE slab write covers both
+            S = sk.shape[-1]
+            pos = jnp.arange(S)
+            sk, sv = sk[:, :, :d], sk[:, :, d:]
+        else:
+            S = sk.shape[-1]
+            pos = jnp.arange(S)
+        if self.self_attn_impl == "packed":
+            pass
+        elif self.self_attn_impl == "stepmajor":
+            # per-layer cache slice (S, B, Kc, h*d): same select-after-dot
+            # math as allslots, only the index order differs (s leading so
+            # the per-step write is a second-major slab, not a lane write)
+            k5 = sk.reshape(S, B, K, h, d)
+            logits_all = jnp.einsum("bqhd,sbchd->bqchs", q, k5
+                                    ).astype(jnp.float32)
+            logits = jnp.sum(logits_all * onehot[:, :, :, None, :], axis=2)
+        elif self.self_attn_impl == "gather":
             onehot_d = onehot.astype(dtype)
             ksel = jnp.einsum("bqcs,bhdcs->bqhds", onehot_d, sk)
             vsel = jnp.einsum("bqcs,bhdcs->bqhds", onehot_d, sv)
@@ -215,7 +373,18 @@ class BeamEngine:
         bias = jnp.where(pos[None, :] <= step, self_pos_bias, NEG_INF)  # (h,S)
         logits = logits + bias[None, None]
         probs = jax.nn.softmax(logits, axis=-1).astype(dtype)  # (B,K,h,S)
-        if self.self_attn_impl == "gather":
+        if self.self_attn_impl == "packed":
+            M = sv.shape[-1]
+            # pw[b,q,h,s,c] = probs * onehot, flattened back to m = s*K+c
+            pw = (probs[:, :, :, :, None]
+                  * onehot[:, :, None, :, :].astype(dtype)).reshape(
+                      B, K, h, M)
+            out = jnp.einsum("bqhm,bhdm->bqhd", pw, sv)
+        elif self.self_attn_impl == "stepmajor":
+            v5 = sv.reshape(S, B, K, h, d)
+            pw = probs[:, :, None] * onehot[:, :, :, None, :].astype(dtype)
+            out = jnp.einsum("bqchs,sbchd->bqhd", pw, v5)
+        elif self.self_attn_impl == "gather":
             out = jnp.einsum("bqhs,bqhds->bqhd", probs, vsel)
         elif self.self_attn_impl == "flat":
             Kc = sv.shape[-2]
@@ -272,11 +441,22 @@ class BeamEngine:
         x = _take_embedding(sd.embedding, tok, dtype)          # (B,K,H)
         self_pos_bias = jax.lax.dynamic_index_in_dim(
             relpos_rows, step, axis=0, keepdims=False)         # (h, S)
-        # (B, Kq, Kc, S) selector, shared by every layer this step. Positions
-        # > step select slot 0 arbitrarily — they are masked by the causal
-        # bias before softmax.
-        onehot = (ancestry[:, :, None, :]
-                  == jnp.arange(K)[None, None, :, None]).astype(jnp.float32)
+        # Selector shared by every layer this step. Positions > step select
+        # slot 0 arbitrarily — they are masked by the causal bias before
+        # softmax. Shape (B, Kq, Kc, S) for the slot-structured impls;
+        # (B, Kq, Sp, Kc) for "packed" (padded positions never selected:
+        # step < steps <= steps_pad keeps the causal mask on them).
+        if self.self_attn_impl == "packed":
+            Sp = self.steps_pad
+            anc_p = jnp.pad(ancestry, ((0, 0), (0, 0),
+                                       (0, Sp - ancestry.shape[-1])))
+            onehot = (anc_p[:, :, :, None]
+                      == jnp.arange(K)[None, None, None, :]
+                      ).astype(jnp.float32)
+        else:
+            onehot = (ancestry[:, :, None, :]
+                      == jnp.arange(K)[None, None, :, None]
+                      ).astype(jnp.float32)
 
         xs = (sd.ln_self, sd.wqkv_self, sd.wo_self,
               sd.ln_cross, sd.wq_cross, sd.wo_cross, sd.ln_mlp,
@@ -290,16 +470,52 @@ class BeamEngine:
             body, x, xs,
             unroll=min(self.layer_unroll, cfg.num_decoder_layers))
 
-        # append-only: one (l,B,h,d,K,1) column write for all layers (the
-        # (l,B,K,h,d) -> (l,B,h,d,K) transpose is a few MB, once per step)
-        def cols_to_cache(cols, cache):
-            return jnp.transpose(cols.astype(cache.dtype),
-                                 (0, 1, 3, 4, 2))[..., None]
+        if self.self_attn_impl == "packed":
+            # flat cache (l,B,h,d,M): this step's K rows live at m=step*K..+K
+            # — ONE contiguous lane-aligned K-wide write, the same structure
+            # as the greedy engine's (whose update XLA keeps in place)
+            def cols_to_cache(cols, cache):
+                return jnp.transpose(cols.astype(cache.dtype),
+                                     (0, 1, 3, 4, 2))      # (l,B,h,d,K)
 
-        new_sk = jax.lax.dynamic_update_slice(
-            sk, cols_to_cache(k_cols, sk), (0, 0, 0, 0, 0, step))
-        new_sv = jax.lax.dynamic_update_slice(
-            sv, cols_to_cache(v_cols, sv), (0, 0, 0, 0, 0, step))
+            new_sk = jax.lax.dynamic_update_slice(
+                sk, cols_to_cache(k_cols, sk), (0, 0, 0, 0, step * K))
+            new_sv = jax.lax.dynamic_update_slice(
+                sv, cols_to_cache(v_cols, sv), (0, 0, 0, 0, step * K))
+        elif self.self_attn_impl == "fusedkv":
+            # one (l,B,h,2d,K,1) column covering BOTH K and V: half the
+            # copy traffic of two d=64 lane-padded caches
+            kv_cols = jnp.concatenate([k_cols, v_cols], axis=-1)
+            col = jnp.transpose(kv_cols.astype(sk.dtype),
+                                (0, 1, 3, 4, 2))[..., None]
+            new_sk = jax.lax.dynamic_update_slice(
+                sk, col, (0, 0, 0, 0, 0, step))
+            new_sv = None
+        elif self.self_attn_impl == "stepmajor":
+            # (l, S, B, K, h*d): one (l,1,B,K,hd) slab at step — the write
+            # is second-major, every minor dim full-width (no dynamic lane
+            # offset, no column scatter)
+            def cols_to_cache(cols, cache):
+                l = cols.shape[0]
+                return cols.astype(cache.dtype).reshape(
+                    l, 1, B, K, cols.shape[-2] * cols.shape[-1])
+
+            new_sk = jax.lax.dynamic_update_slice(
+                sk, cols_to_cache(k_cols, sk), (0, step, 0, 0, 0))
+            new_sv = jax.lax.dynamic_update_slice(
+                sv, cols_to_cache(v_cols, sv), (0, step, 0, 0, 0))
+        else:
+            # append-only: one (l,B,h,d,K,1) column write for all layers (the
+            # (l,B,K,h,d) -> (l,B,h,d,K) transpose is a few MB, once per
+            # step)
+            def cols_to_cache(cols, cache):
+                return jnp.transpose(cols.astype(cache.dtype),
+                                     (0, 1, 3, 4, 2))[..., None]
+
+            new_sk = jax.lax.dynamic_update_slice(
+                sk, cols_to_cache(k_cols, sk), (0, 0, 0, 0, 0, step))
+            new_sv = jax.lax.dynamic_update_slice(
+                sv, cols_to_cache(v_cols, sv), (0, 0, 0, 0, 0, step))
 
         x = _rms(x, sd.final_ln, cfg.layer_norm_epsilon, dtype)
         if sd.lm_head is not None:
@@ -325,9 +541,28 @@ class BeamEngine:
         cross_kv = self._project_cross_kv(sd, enc)
         cross_bias = jnp.where(enc_mask, 0.0, NEG_INF)[:, None, None, :]
         relpos_rows = _decode_relpos_rows(sd.relpos, cfg, steps)
-        zeros = jnp.zeros((cfg.num_decoder_layers, B, h, d, K, steps),
-                          dtype=self.dtype)
-        caches = (zeros, zeros)
+        if self.self_attn_impl == "packed":
+            if self.steps_pad > steps:
+                # bias values at padded positions are irrelevant (causally
+                # masked: step < steps <= steps_pad), zero-pad for shape
+                relpos_rows = jnp.pad(
+                    relpos_rows,
+                    ((0, 0), (0, 0), (0, self.steps_pad - steps)))
+            zeros = jnp.zeros(
+                (cfg.num_decoder_layers, B, h, d, self.steps_pad * K),
+                dtype=self.dtype)
+        elif self.self_attn_impl == "stepmajor":
+            zeros = jnp.zeros(
+                (cfg.num_decoder_layers, steps, B, K, h * d),
+                dtype=self.dtype)
+        elif self.self_attn_impl == "fusedkv":
+            zeros = jnp.zeros((cfg.num_decoder_layers, B, h, 2 * d, K,
+                               steps), dtype=self.dtype)
+        else:
+            zeros = jnp.zeros((cfg.num_decoder_layers, B, h, d, K, steps),
+                              dtype=self.dtype)
+        caches = ((zeros, None) if self.self_attn_impl == "fusedkv"
+                  else (zeros, zeros))
         ancestry = jnp.zeros((B, K, steps), jnp.int32)
 
         # search state mirrors models/t5/beam.py exactly (HF-pinned there)
@@ -348,9 +583,15 @@ class BeamEngine:
             logits, caches_ = self._one_step(
                 sd, prev, caches_, anc, cross_kv, relpos_rows, cross_bias,
                 step)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            cand = scores[:, :, None] + logp                   # (B, K, V)
-            top_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), 2 * K)
+            if self.select_impl == "blockwise":
+                top_scores, top_idx = blockwise_top_m(
+                    logits, scores, 2 * K, block=self.select_block)
+            else:
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32),
+                                          axis=-1)
+                cand = scores[:, :, None] + logp               # (B, K, V)
+                top_scores, top_idx = jax.lax.top_k(
+                    cand.reshape(B, K * V), 2 * K)
             src_beam = top_idx // V
             tok = (top_idx % V).astype(jnp.int32)
             is_eos = tok == cfg.eos_token_id
@@ -412,15 +653,18 @@ def make_beam_engine_generate_fn(model, max_length: int = 50,
                                  num_beams: int = 4,
                                  length_penalty: float = 1.0,
                                  layer_unroll: Optional[int] = None,
-                                 self_attn_impl: str = "allslots"):
+                                 self_attn_impl: str = "allslots",
+                                 select_impl: str = "auto"):
     """Drop-in replacement for beam.make_beam_generate_fn on the engine.
 
     ``self_attn_impl``: allslots (default) | gather | flat — the measured A/B
     in the BeamEngine docstring; reachable from configs via
-    ReaderTrainConfig.decode_self_attn_impl."""
+    ReaderTrainConfig.decode_self_attn_impl.
+    ``select_impl``: auto (blockwise when the vocab factors) | topk |
+    blockwise — see ``blockwise_top_m``."""
     eng = BeamEngine(model, max_length=max_length, num_beams=num_beams,
                      length_penalty=length_penalty, layer_unroll=layer_unroll,
-                     self_attn_impl=self_attn_impl)
+                     self_attn_impl=self_attn_impl, select_impl=select_impl)
 
     def fn(params, input_ids, mask):
         return eng.generate(params, input_ids, mask)

@@ -7,6 +7,10 @@ micro numbers flatter whatever fits VMEM as a loop invariant, so the engine
 A/B on the real chip is what decides the default.
 
 Usage: python scripts/bench_beam_ab.py [--impls allslots,gather]
+
+An impl entry may carry a select variant as ``impl+select``, e.g.
+``packed+blockwise`` (select defaults to plain topk so older rows stay
+comparable).
 """
 
 import argparse
@@ -52,8 +56,11 @@ def main():
     out = {}
     ref_tokens = None
     for impl in args.impls.split(","):
+        impl, _, select = impl.partition("+")
         eng = BeamEngine(model, max_length=args.max_length,
-                         num_beams=args.beams, self_attn_impl=impl)
+                         num_beams=args.beams, self_attn_impl=impl,
+                         select_impl=select or "topk")
+        impl = f"{impl}+{select}" if select else impl
         toks = eng.generate(params, ids, mask)
         t_np = np.asarray(toks)
         mism = None

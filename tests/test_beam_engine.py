@@ -126,3 +126,79 @@ def test_bad_self_attn_impl_rejected():
     model, params, ids, mask = _make(seed=8)
     with pytest.raises(ValueError):
         BeamEngine(model, num_beams=2, self_attn_impl="scatter")
+
+def test_blockwise_top_m_matches_topk_oracle():
+    """blockwise_top_m == top_k over (B, K*V) of scores + log_softmax,
+    values AND indices (index tie-breaks included), across block sizes
+    and adversarial ties."""
+    from lako_tpu.models.t5.beam_engine import blockwise_top_m
+
+    rng = np.random.default_rng(0)
+    B, K, V, m = 5, 4, 96, 8
+    logits = jnp.asarray(rng.normal(size=(B, K, V)), jnp.float32)
+    # plant exact ties straddling block boundaries and duplicated values
+    logits = logits.at[0, 0, 10].set(7.0).at[0, 1, 50].set(7.0)
+    logits = logits.at[1, 2, 31].set(5.0).at[1, 2, 32].set(5.0)
+    logits = logits.at[2, 0, :].set(1.0)  # a whole constant row
+    scores = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    scores = scores.at[0, 1].set(scores[0, 0])  # beam-score tie too
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    cand = (scores[:, :, None] + logp).reshape(B, K * V)
+    ref_s, ref_i = jax.lax.top_k(cand, m)
+
+    for block in (16, 32, 48):
+        ts, ti = blockwise_top_m(logits, scores, m, block=block)
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(ref_s),
+                                   rtol=0, atol=1e-6)
+
+
+def test_blockwise_select_matches():
+    """Full engine with select_impl=blockwise produces the same tokens as
+    the plain top_k path (and therefore the HF-pinned flax beam)."""
+    model, params, ids, mask = _make(seed=9)
+    ref = BeamEngine(model, max_length=9, num_beams=3,
+                     select_impl="topk").generate(params, ids, mask)
+    out = BeamEngine(model, max_length=9, num_beams=3,
+                     select_impl="blockwise",
+                     select_block=16).generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    flax_ref = beam_generate(model, params, ids, mask, max_length=9,
+                             num_beams=3)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(flax_ref))
+
+
+def test_bad_select_impl_rejected():
+    model, params, ids, mask = _make(seed=10)
+    with pytest.raises(ValueError):
+        BeamEngine(model, num_beams=2, select_impl="fancy")
+    with pytest.raises(ValueError):
+        # blockwise demanded but block does not divide the vocab
+        BeamEngine(model, num_beams=2, select_impl="blockwise",
+                   select_block=7).generate(params, ids, mask)
+
+
+@pytest.mark.parametrize("num_beams", [2, 3, 4])
+@pytest.mark.parametrize("impl", ["packed", "stepmajor", "fusedkv"])
+def test_alt_cache_impl_matches_allslots(impl, num_beams):
+    """Alternative cache layouts (packed: flat m = s*K + k interleave;
+    stepmajor: (l,S,B,K,h*d) slab-per-step) produce identical tokens to
+    the slot-structured cache."""
+    model, params, ids, mask = _make(seed=11)
+    a = BeamEngine(model, max_length=9, num_beams=num_beams,
+                   self_attn_impl="allslots").generate(params, ids, mask)
+    p = BeamEngine(model, max_length=9, num_beams=num_beams,
+                   self_attn_impl=impl).generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(a))
+
+
+def test_packed_impl_matches_flax_beam():
+    model, params, ids, mask = _make(seed=12)
+    ref = beam_generate(model, params, ids, mask, max_length=10, num_beams=4)
+    eng = BeamEngine(model, max_length=10, num_beams=4,
+                     self_attn_impl="packed")
+    # K=4 divides 128 -> steps padded to a lane multiple (M = 128)
+    assert eng.steps_pad * 4 % 128 == 0
+    out = eng.generate(params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
