@@ -151,10 +151,17 @@ class BeamEngine:
     Round-5 optimization pass (t5-large B=128 beams=4, the reference eval
     config; artifacts/{beam_ablate,cache_alias,beam_ab}.json):
 
-    - In-situ ablation of the 36 ms step: self-attn 19.3 ms, cache write
-      13.7 ms, cross-attn 12.6 ms, top-2K select 0.54 ms (costs measured by
-      deleting each part from the real program — they overlap, so they sum
-      past 36).
+    - In-situ ablation of the ~35.7 ms step: self-attn 19.3 ms, cache write
+      13.7 ms, cross-attn 12.6 ms, blockwise top-2K select 0.35 ms beyond a
+      bare max-reduce (costs measured by deleting each part from the real
+      program — they overlap, so they sum past the step). Correction over
+      the first r5 artifact: the original select/log-softmax ablations
+      patched ops only the legacy topk path issues, so against the
+      blockwise default they timed an unmodified program; the re-run
+      ablates the default path directly and gives the topk-path numbers
+      their own full_topk baseline (select 0.54 ms, log_softmax ~0.07 ms).
+      full_topk − full = 0.22 ms/step is blockwise's in-situ win, matching
+      the end-to-end 72.5 → 72.9 ans/s A/B.
     - HLO (scripts/dump_beam_hlo.py) + an isolated scan microbench
       (scripts/bench_cache_alias.py) showed the (l,B,h,d,K,S) caches get a
       d-minor 64->128 lane-padded layout whose per-step dynamic-update-slice
@@ -208,6 +215,21 @@ class BeamEngine:
                            if cfg.vocab_size % select_block == 0
                            and cfg.vocab_size // select_block >= 2
                            else "topk")
+        elif select_impl == "blockwise":
+            # explicit request: validate the same factoring conditions at
+            # construction so a bad block size fails here with a clear
+            # message, not deep inside jit tracing at first generate()
+            if cfg.vocab_size % select_block != 0:
+                raise ValueError(
+                    f"select_block={select_block} does not divide "
+                    f"vocab_size={cfg.vocab_size}; pick a divisor or use "
+                    "select_impl='topk'")
+            if cfg.vocab_size // select_block < 2:
+                raise ValueError(
+                    f"select_block={select_block} leaves "
+                    f"{cfg.vocab_size // select_block} block(s) of "
+                    f"vocab_size={cfg.vocab_size}; blockwise selection "
+                    "needs >= 2 blocks (use select_impl='topk')")
         self.model = model
         self.cfg = cfg
         self.max_length = max_length

@@ -248,7 +248,9 @@ def cmd_serve(args):
                       decode_chunk_size=cfg.decode_chunk_size,
                       batch_window_ms=args.batch_window_ms,
                       mesh_model=args.mesh_model,
-                      engine_policy=args.engine_policy),
+                      engine_policy=args.engine_policy,
+                      policy_chunked_min_occupancy=(
+                          args.policy_chunked_min_occupancy)),
         t5_cfg, params, tok,
         retriever=retriever, retriever_params=retriever_params,
         bert_tokenizer=btok, index=index, id_to_sentence=id_to_sentence,
@@ -431,6 +433,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto = chunked early-exit decode only when batch "
                         "occupancy reaches the measured win threshold; "
                         "fixed = always the configured chunk size")
+    t.add_argument("--policy-chunked-min-occupancy", type=int, default=None,
+                   help="occupancy at which engine-policy=auto switches to "
+                        "chunked decode (default: max(batch_size//2, 5); "
+                        "must be <= batch-size)")
     t.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("truncate-data", help="keep the first K examples of a JSON dataset")

@@ -337,20 +337,34 @@ def _load_or_train_pq(index_path: str, n_subquantizers: int = 32,
                       n_bits: int = 8):
     """PQ view of a dense index dir: codes live in ``<index_path>/pq`` and are
     trained once from ``embeddings.npy`` on first use (idempotent — reuse on
-    every later retrieve). Dimensions not divisible by 32 fall back to the
-    largest power-of-two subquantizer count that divides d."""
+    every later retrieve). The cache records a fingerprint of the source
+    embeddings file; re-running embed-facts into the same index dir (new
+    corpus or retrained retriever) invalidates the codes and retrains them
+    instead of silently scoring queries against the stale embedding space.
+    Dimensions not divisible by 32 fall back to the largest power-of-two
+    subquantizer count that divides d."""
     from lako_tpu.retrieval.pq import PQIndex
 
+    emb_path = Path(index_path) / "embeddings.npy"
+    st = emb_path.stat()
+    fingerprint = {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
+                   "n_subquantizers": n_subquantizers, "n_bits": n_bits}
     pq_dir = Path(index_path) / "pq"
+    src_meta = pq_dir / "source.json"
     if (pq_dir / "meta.json").exists():
-        return PQIndex.load(str(pq_dir))
-    emb = np.load(Path(index_path) / "embeddings.npy")
+        if src_meta.exists() and json.loads(src_meta.read_text()) == fingerprint:
+            return PQIndex.load(str(pq_dir))
+        get_logger().info(
+            "PQ cache at %s is stale (embeddings.npy changed since codes "
+            "were trained) — retraining", pq_dir)
+    emb = np.load(emb_path)
     ids = np.load(Path(index_path) / "ids.npy")
     m = n_subquantizers
     while m > 1 and emb.shape[1] % m:
         m //= 2
     pq = PQIndex.train(emb, n_subquantizers=m, n_bits=n_bits, ids=ids)
     pq.save(str(pq_dir))
+    src_meta.write_text(json.dumps(fingerprint))
     get_logger().info(
         "trained PQ-%dx%d over %d×%d: %.1f MB → %.2f MB", m, n_bits,
         emb.shape[0], emb.shape[1], emb.nbytes / 1e6, pq.nbytes() / 1e6)

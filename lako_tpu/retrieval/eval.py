@@ -15,6 +15,29 @@ from lako_tpu.text.metrics import includ_ems, stem_ems
 DEFAULT_HITK = (5, 10, 20, 50, 100, 150, 200, 300, 400, 500)
 
 
+def answer_bearing_first(rows: Iterable[dict]) -> Tuple[list, int]:
+    """Oracle re-ranking: sort each example's facts answer-bearing-first.
+
+    The upper-bound diagnostic the loop experiments share (a perfect
+    re-ranker — what the trained retriever is distilled TOWARD): candidate
+    sets are unchanged, only the order moves, exactly like rerank_stage. A
+    fact "bears" the answer when `` {target}`` (leading-space word-start
+    match, lowercased) appears in its sentence. Returns (new rows, number
+    of examples with at least one answer-bearing fact). Single definition
+    so the experiments cannot silently diverge in what "oracle ordering"
+    means (scripts/real_okvqa_full_loop.py, curriculum_copy_transfer.py).
+    """
+    out, n_hit = [], 0
+    for ex in rows:
+        ans = f" {ex['target'].lower().strip()}"
+        facts = [dict(f) for f in ex["fact"]]
+        hit = [f for f in facts if ans in f["sentence"].lower()]
+        miss = [f for f in facts if ans not in f["sentence"].lower()]
+        n_hit += bool(hit)
+        out.append({**ex, "fact": hit + miss})
+    return out, n_hit
+
+
 def hit_at_k(
     data: Iterable[dict],
     hitk: Sequence[int] = DEFAULT_HITK,

@@ -62,8 +62,16 @@ class PQIndex:
         self.dim = self.m * self.dsub
         self.ids = np.arange(self.n, dtype=np.int64) if ids is None else ids
         self.chunk_size = min(chunk_size, self.n)
-        # codes stay uint8 in HBM (the whole point); widened per chunk in-scan
-        self._codes_dev = jax.device_put(jnp.asarray(self.codes, jnp.uint8))
+        if self.codes.max(initial=0) >= self.k:
+            raise ValueError(
+                f"codes reference centroid {int(self.codes.max())} but "
+                f"codebooks have only k={self.k} centroids per subspace")
+        # codes stay narrow in HBM (the whole point); widened per chunk
+        # in-scan. uint8 covers n_bits<=8; wider codebooks (n_bits>8 from
+        # _encode) keep uint16 — force-casting to uint8 would wrap codes
+        # >=256 and silently decompress against the wrong centroids.
+        code_dtype = jnp.uint8 if self.k <= 256 else jnp.uint16
+        self._codes_dev = jax.device_put(jnp.asarray(self.codes, code_dtype))
         self._books_dev = jax.device_put(jnp.asarray(self.codebooks))
         self._search = _cached_pq_search(self.chunk_size, self.n, self.m,
                                          self.k, self.dsub)

@@ -10,8 +10,9 @@ hits the same two executables. A stdlib HTTP endpoint (`lako serve`) wraps it.
 from __future__ import annotations
 
 import json
+from collections import deque
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Deque, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ from lako_tpu.core.config import (
     RetrieverConfig,
     T5Config,
 )
+from lako_tpu.core.logging import get_logger
 from lako_tpu.data import ReaderCollator, ReaderDataset
 from lako_tpu.models.retriever import Retriever
 from lako_tpu.models.t5 import FiDT5
@@ -52,9 +54,14 @@ class ServiceConfig:
     # greedy below it). Measured basis (artifacts/serve_latency.json +
     # docs/PERFORMANCE.md serving section): chunked decode wins offline at
     # B=128 (~252 vs ~165 ans/s) but LOSES at serving occupancy ~4, where
-    # its extra host-loop dispatches outweigh the early exit.
+    # its extra host-loop dispatches outweigh the early exit. Greedy only:
+    # the beam engine has no chunked variant, so num_beams > 1 ignores
+    # "auto" (logged at init, not silent).
     engine_policy: str = "fixed"
-    policy_chunked_min_occupancy: int = 32
+    # None = max(batch_size // 2, 5): above the measured-loss occupancy ~4
+    # and scaled to the configured batch, so "auto" is never inert by
+    # default (an explicit value > batch_size is rejected at init).
+    policy_chunked_min_occupancy: Optional[int] = None
     # Dynamic micro-batching for the HTTP server: concurrent requests that
     # arrive within batch_window_ms of each other are merged into ONE device
     # batch (up to batch_size). Amortizes the per-device-call dispatch cost
@@ -130,17 +137,43 @@ class LakoService:
         if cfg.engine_policy not in ("fixed", "auto"):
             raise ValueError(
                 f"engine_policy must be fixed|auto, got {cfg.engine_policy!r}")
-        self._generate = _make_gen(cfg.decode_chunk_size)
+        self._policy_threshold = (
+            max(cfg.batch_size // 2, 5)
+            if cfg.policy_chunked_min_occupancy is None
+            else cfg.policy_chunked_min_occupancy)
+        if cfg.engine_policy == "auto" and self._policy_threshold > cfg.batch_size:
+            if cfg.policy_chunked_min_occupancy is not None:
+                raise ValueError(
+                    f"policy_chunked_min_occupancy="
+                    f"{self._policy_threshold} can never be reached with "
+                    f"batch_size={cfg.batch_size}; engine_policy='auto' "
+                    "would silently always run full-length")
+            # default threshold (measured: chunked loses below occupancy
+            # ~5) is out of reach at this batch size — auto degenerates to
+            # full-length, which IS the measured-correct choice; say so.
+            get_logger().warning(
+                "engine_policy='auto' with batch_size=%d: chunked decode "
+                "loses below occupancy ~5 (artifacts/serve_latency.json), "
+                "so every batch will run the full-length engine",
+                cfg.batch_size)
+        full_chunk_size = cfg.decode_chunk_size
         self._generate_chunked = None
-        if cfg.engine_policy == "auto" and cfg.num_beams == 1:
-            # the auto policy needs BOTH programs: full-run greedy for
-            # low-occupancy batches, chunked early-exit for full ones
-            self._generate_chunked = _make_gen(cfg.decode_chunk_size or 16)
-            if cfg.decode_chunk_size:
-                self._generate = _make_gen(None)
+        if cfg.engine_policy == "auto":
+            if cfg.num_beams == 1:
+                # the auto policy needs BOTH programs: full-run greedy for
+                # low-occupancy batches, chunked early-exit for full ones
+                self._generate_chunked = _make_gen(cfg.decode_chunk_size or 16)
+                full_chunk_size = None
+            else:
+                get_logger().warning(
+                    "engine_policy='auto' applies to greedy decode only; "
+                    "num_beams=%d runs the beam engine unconditionally",
+                    cfg.num_beams)
+        self._generate = _make_gen(full_chunk_size)
         # telemetry: ("chunked"|"full", occupancy) per device batch — the
-        # policy's decisions are observable, not assumed
-        self.policy_decisions: List[tuple] = []
+        # policy's decisions are observable, not assumed. Bounded: a
+        # long-running server must not grow host memory per batch forever.
+        self.policy_decisions: Deque[tuple] = deque(maxlen=4096)
 
         self.retriever = retriever
         self.retriever_params = retriever_params
@@ -214,7 +247,7 @@ class LakoService:
             gen = self._generate
             if self._generate_chunked is not None:
                 use_chunked = (len(chunk)
-                               >= self.cfg.policy_chunked_min_occupancy)
+                               >= self._policy_threshold)
                 if use_chunked:
                     gen = self._generate_chunked
                 self.policy_decisions.append(
@@ -258,8 +291,10 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         # batch-occupancy telemetry: how many requests each device batch
         # actually carried (the micro-batcher's whole value proposition is
-        # occupancy > 1 under concurrent load — measured, not assumed)
-        self.batch_occupancy: List[int] = []
+        # occupancy > 1 under concurrent load — measured, not assumed).
+        # Bounded like LakoService.policy_decisions: telemetry must not be
+        # an unbounded per-batch memory leak in a long-running server.
+        self.batch_occupancy: Deque[int] = deque(maxlen=65536)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 

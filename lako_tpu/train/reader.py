@@ -171,9 +171,16 @@ def _apply_param_dtype(cfg, params, logger):
     """Master-state dtype policy (core/config.py param_dtype): "float32"
     keeps f32 masters (default); "bfloat16" casts params — and therefore the
     Adam moments tx.init derives from them — to bf16, the measured-floor
-    throughput config (artifacts/headline_levers.json)."""
+    throughput config (artifacts/headline_levers.json).
+
+    Both branches CAST rather than pass through: restored checkpoints carry
+    the dtype of the run that wrote them, so resuming a bf16-master run with
+    the convergence-safe float32 policy must up-cast the masters (and let
+    tx.init rebuild f32 moments), not silently keep bf16 state."""
     if cfg.param_dtype in ("float32", "f32"):
-        return params
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     if cfg.param_dtype not in ("bfloat16", "bf16"):
         raise ValueError(
             f"param_dtype must be float32|bfloat16, got {cfg.param_dtype!r}")

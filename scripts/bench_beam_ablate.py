@@ -79,17 +79,23 @@ def main():
 
     results = {}
 
-    def run(name, cls):
-        eng = cls(model, max_length=50, num_beams=args.beams)
+    def run(name, cls, baseline="full", **kw):
+        eng = cls(model, max_length=50, num_beams=args.beams, **kw)
         t = _time(eng.generate, params, ids, mask)
         per_step = t / steps * 1e3
         results[name] = per_step
-        delta = results.get("full", per_step) - per_step
+        delta = results.get(baseline, per_step) - per_step
         print(f"[ablate] {name:28s} {t:7.3f} s/batch  {per_step:6.2f} ms/step"
-              f"  in-situ delta {delta:6.2f} ms", flush=True)
+              f"  in-situ delta vs {baseline} {delta:6.2f} ms", flush=True)
         del eng
 
     run("full", be.BeamEngine)
+    # the full program on the legacy full-width top_k selection path — the
+    # baseline for the two selection ablations below, which monkeypatch ops
+    # only that path issues (select_impl defaults to blockwise at this
+    # vocab, which calls neither the K*V-wide top_k nor jax.nn.log_softmax
+    # — against "full" those ablations time an unmodified engine)
+    run("full_topk", be.BeamEngine, select_impl="topk")
 
     # --- no cache write: the per-step (l,B,h,d,K,1) column updates deleted.
     # If the dynamic-update aliases in place this should cost ~bytes of the
@@ -131,7 +137,35 @@ def main():
             finally:
                 jax.lax.top_k = orig_topk
 
-    run("argmax_select", CheapSelect)
+    run("argmax_select", CheapSelect, baseline="full_topk",
+        select_impl="topk")
+
+    # --- blockwise selection replaced by a shape-correct per-beam max/argmax
+    # (keeps the full (B,K,V) logits read + all downstream consumers; deletes
+    # the two-stage blockwise machinery incl. its lse). Delta vs "full" is
+    # the in-situ cost of the DEFAULT selection path beyond one reduce.
+    class CheapBlockwise(be.BeamEngine):
+        def _generate_impl(self, params_, input_ids, mask_):
+            orig = be.blockwise_top_m
+
+            def fake_blockwise(logits, scores, m, block=251):
+                B, K, V = logits.shape
+                lmax = jnp.max(logits, axis=-1).astype(jnp.float32)  # (B, K)
+                am = jnp.argmax(logits, axis=-1)                     # (B, K)
+                cand = scores + lmax
+                rep = (m + K - 1) // K
+                ts = jnp.tile(cand, (1, rep))[:, :m] - \
+                    jnp.arange(m, dtype=jnp.float32)[None] * 1e-3
+                idx = (am + jnp.arange(K)[None] * V).astype(jnp.int32)
+                return ts, jnp.tile(idx, (1, rep))[:, :m]
+
+            be.blockwise_top_m = fake_blockwise
+            try:
+                return super()._generate_impl(params_, input_ids, mask_)
+            finally:
+                be.blockwise_top_m = orig
+
+    run("cheap_select_blockwise", CheapBlockwise)
 
     # --- no log_softmax on the (B,K,V) logits (raw logits as logp)
     class NoLogSoftmax(be.BeamEngine):
@@ -143,7 +177,8 @@ def main():
             finally:
                 jax.nn.log_softmax = orig
 
-    run("no_log_softmax", NoLogSoftmax)
+    run("no_log_softmax", NoLogSoftmax, baseline="full_topk",
+        select_impl="topk")
 
     # --- self-attention reduced to the current-step term (cache read and
     # all-slots einsums deleted; out = p_now-style v_new passthrough)
@@ -242,15 +277,24 @@ def main():
     run("no_cross_attn", NoCrossAttn)
 
     full = results["full"]
-    print("\n[ablate] in-situ deltas (ms/step of the full program):")
+    topk_base = results.get("full_topk", full)
+    print("\n[ablate] in-situ deltas (ms/step):")
     for k, v in results.items():
+        base = topk_base if k in ("argmax_select", "no_log_softmax") else full
         if k != "full":
-            print(f"  {k:24s} {full - v:7.2f}")
+            print(f"  {k:24s} {base - v:7.2f}")
 
     out_path = args.out or (pathlib.Path(__file__).resolve().parents[1]
                             / "artifacts" / "beam_ablate.json")
-    pathlib.Path(out_path).write_text(json.dumps(
-        {k: round(v, 3) for k, v in results.items()}, indent=1))
+    payload = {k: round(v, 3) for k, v in results.items()}
+    payload["_baselines"] = {
+        "argmax_select": "full_topk", "no_log_softmax": "full_topk",
+        "note": ("full runs select_impl=blockwise (the default at this "
+                 "vocab); argmax_select/no_log_softmax patch ops only the "
+                 "topk path issues, so they ablate full_topk. "
+                 "cheap_select_blockwise ablates the default path."),
+    }
+    pathlib.Path(out_path).write_text(json.dumps(payload, indent=1))
 
 
 if __name__ == "__main__":

@@ -151,14 +151,9 @@ def main():
         return out
 
     def oracle_rows(rows):
-        out = []
-        for ex in rows:
-            ans = f" {ex['target'].lower().strip()}"
-            facts = [dict(f) for f in ex["fact"]]
-            hit = [f for f in facts if ans in f["sentence"].lower()]
-            miss = [f for f in facts if ans not in f["sentence"].lower()]
-            out.append({**ex, "fact": hit + miss})
-        return out
+        from lako_tpu.retrieval.eval import answer_bearing_first
+
+        return answer_bearing_first(rows)[0]
 
     def reader_cfg(name, epochs, ckpt_root):
         return {

@@ -124,17 +124,9 @@ def main():
     print(f"BM25 fact mining: {time.time()-t0:.1f}s", flush=True)
 
     if args.oracle_rerank:
-        # upper-bound diagnostic for the iterative loop: a perfect re-ranker
-        # that sorts each example's mined candidates answer-bearing-first
-        # (what the trained retriever is distilled TOWARD). Candidate sets
-        # are unchanged — only the order, exactly like rerank_stage.
-        n_hit = 0
-        for ex in examples:
-            ans = f" {ex['target'].lower().strip()}"
-            hit = [f for f in ex["fact"] if ans in f["sentence"].lower()]
-            if hit:
-                n_hit += 1
-            ex["fact"] = hit + [f for f in ex["fact"] if f not in hit]
+        from lako_tpu.retrieval.eval import answer_bearing_first
+
+        examples, n_hit = answer_bearing_first(examples)
         print(f"oracle re-rank: answer-bearing fact exists for "
               f"{n_hit}/{len(examples)} examples", flush=True)
 
@@ -244,15 +236,10 @@ def main():
     # ordering, exactly as the reference's readers start from pretrained-T5
     # capability the loop itself does not provide.
     if args.oracle_pretrain_epochs > 0:
+        from lako_tpu.retrieval.eval import answer_bearing_first
+
         def oracle_sorted(rows):
-            out = []
-            for ex in rows:
-                ans = f" {ex['target'].lower().strip()}"
-                facts = [dict(f) for f in ex["fact"]]
-                hit = [f for f in facts if ans in f["sentence"].lower()]
-                miss = [f for f in facts if ans not in f["sentence"].lower()]
-                out.append({**ex, "fact": hit + miss})
-            return out
+            return answer_bearing_first(rows)[0]
 
         (wd / "oracle_train.json").write_text(
             json.dumps(oracle_sorted(examples[:n_train])))

@@ -173,10 +173,16 @@ def test_bad_select_impl_rejected():
     model, params, ids, mask = _make(seed=10)
     with pytest.raises(ValueError):
         BeamEngine(model, num_beams=2, select_impl="fancy")
-    with pytest.raises(ValueError):
-        # blockwise demanded but block does not divide the vocab
+    # explicit blockwise is validated at CONSTRUCTION (a clear message, not
+    # an XLA top_k shape error deep inside jit at first generate)
+    with pytest.raises(ValueError, match="does not divide"):
+        # block does not divide the vocab
         BeamEngine(model, num_beams=2, select_impl="blockwise",
-                   select_block=7).generate(params, ids, mask)
+                   select_block=7)
+    with pytest.raises(ValueError, match=">= 2 blocks"):
+        # block == vocab factors but leaves a single degenerate block
+        BeamEngine(model, num_beams=2, select_impl="blockwise",
+                   select_block=64)
 
 
 @pytest.mark.parametrize("num_beams", [2, 3, 4])

@@ -381,3 +381,35 @@ def test_write_results_schema(tmp_path, capsys):
     for key in ("question", "img_id", "answer", "target", "real answers",
                 "fact", "include_score", "score", "stem_score"):
         assert key in row, key
+
+
+def test_pq_cache_invalidated_when_embeddings_change(tmp_path):
+    """Re-running embed-facts into the same index dir must retrain the PQ
+    codes: stale codes silently score queries in the old embedding space
+    (stages._load_or_train_pq fingerprints embeddings.npy)."""
+    import os
+
+    import numpy as np
+
+    from lako_tpu.pipeline.stages import _load_or_train_pq
+    from lako_tpu.retrieval.index import DenseIndex
+
+    rng = np.random.default_rng(3)
+    emb1 = rng.normal(size=(64, 8)).astype(np.float32)
+    DenseIndex(emb1).save(str(tmp_path))
+    pq1 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)
+
+    # cached reuse: same embeddings -> identical codes object on disk
+    pq1b = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)
+    np.testing.assert_array_equal(pq1.codes, pq1b.codes)
+
+    # new corpus into the SAME dir (the retrain-the-retriever workflow)
+    emb2 = rng.normal(size=(80, 8)).astype(np.float32) * 5.0
+    DenseIndex(emb2).save(str(tmp_path))
+    os.utime(tmp_path / "embeddings.npy")  # ensure the mtime moves
+    pq2 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)
+    assert pq2.n == 80, "stale PQ codes reused after embeddings changed"
+
+    # changed quantizer geometry alone must also retrain
+    pq3 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=5)
+    assert pq3.k == 32

@@ -171,3 +171,25 @@ def test_param_dtype_rejects_unknown():
     cfg = ReaderTrainConfig(param_dtype="fp8")
     with _pytest.raises(ValueError):
         _apply_param_dtype(cfg, {}, __import__("logging").getLogger())
+
+
+def test_param_dtype_float32_upcasts_restored_bf16():
+    """Resuming a bf16-master checkpoint under the convergence-safe float32
+    policy must up-cast the masters (reader.py re-applies the policy on
+    restore; a float32 pass-through would silently keep bf16 state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lako_tpu.train.reader import _apply_param_dtype
+
+    restored = {"w": jnp.ones((3, 3), jnp.bfloat16),
+                "step": jnp.array(7, jnp.int32)}
+    cfg = ReaderTrainConfig(param_dtype="float32")
+    out = _apply_param_dtype(cfg, restored,
+                             __import__("logging").getLogger())
+    assert out["w"].dtype == jnp.float32
+    assert out["step"].dtype == jnp.int32  # non-float leaves untouched
+
+    cfg = ReaderTrainConfig(param_dtype="bfloat16")
+    back = _apply_param_dtype(cfg, out, __import__("logging").getLogger())
+    assert back["w"].dtype == jnp.bfloat16

@@ -462,3 +462,37 @@ class TestEmbedFiniteAndMaxlength:
         emb = np.ones((4, 8), np.float32)
         with pytest.raises(ValueError, match="exceeds the corpus size"):
             DenseIndex(emb).search(np.ones((1, 8), np.float32), k=10)
+
+
+class TestPQWideCodes:
+    def test_n_bits_gt_8_codes_not_truncated(self):
+        """n_bits > 8 produces uint16 codes; the device copy must keep them
+        (a uint8 force-cast would wrap codes >= 256 and decompress against
+        the wrong centroids)."""
+        from lako_tpu.retrieval.pq import PQIndex
+
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(700, 8)).astype(np.float32)
+        pq = PQIndex.train(emb, n_subquantizers=2, n_bits=9, train_size=700,
+                           iters=2)
+        assert pq.k == 512
+        assert pq.codes.dtype == np.uint16
+        assert pq._codes_dev.dtype == jnp.uint16
+        assert int(pq.codes.max()) >= 256  # the regression precondition
+
+        q = rng.normal(size=(4, 8)).astype(np.float32)
+        _, scores = pq.search(q, k=5)
+        # scores must equal exact inner products on the HOST-code
+        # reconstruction; a truncated device copy diverges wildly
+        recon = np.concatenate(
+            [pq.codebooks[j][pq.codes[:, j]] for j in range(pq.m)], axis=1)
+        oracle = np.sort(q @ recon.T, axis=1)[:, ::-1][:, :5]
+        np.testing.assert_allclose(scores, oracle, atol=1e-4)
+
+    def test_codes_exceeding_codebook_rejected(self):
+        from lako_tpu.retrieval.pq import PQIndex
+
+        books = np.zeros((2, 4, 4), np.float32)  # k=4 centroids
+        codes = np.array([[0, 5]], np.uint8)     # 5 >= k
+        with pytest.raises(ValueError, match="only k=4 centroids"):
+            PQIndex(books, codes)

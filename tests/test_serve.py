@@ -301,15 +301,53 @@ def test_engine_policy_auto_picks_by_occupancy():
             for i in range(4)]
     low = svc.answer_batch(reqs[:1])       # occupancy 1 < 3 -> full
     high = svc.answer_batch(reqs)          # occupancy 4 >= 3 -> chunked
-    assert svc.policy_decisions == [("full", 1), ("chunked", 4)], \
+    assert list(svc.policy_decisions) == [("full", 1), ("chunked", 4)], \
         svc.policy_decisions
     # both engines answer identically (same params, greedy)
     assert high[0]["answer"] == low[0]["answer"]
 
     fixed = make("fixed")
     fixed.answer_batch(reqs)
-    assert fixed.policy_decisions == []    # policy inactive
+    assert list(fixed.policy_decisions) == []  # policy inactive
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
         make("adaptive")
+
+
+def test_engine_policy_threshold_validation():
+    """An explicit policy_chunked_min_occupancy that batch_size can never
+    reach must be rejected (a silent always-full 'auto' is the bug); the
+    unset default resolves to max(batch_size//2, 5) and is accepted."""
+    tok = make_tokenizer()
+    t5 = T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
+                  num_layers=1, num_decoder_layers=1, num_heads=2,
+                  relative_attention_num_buckets=8, dropout_rate=0.0)
+    data_cfg = ReaderDataConfig(n_context=2, text_maxlength=16,
+                                answer_maxlength=4, stream=2)
+    model = FiDT5(t5)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 16), jnp.int32),
+                        jnp.ones((1, 2, 16), bool),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+
+    def make(batch_size, threshold):
+        return LakoService(
+            ServiceConfig(batch_size=batch_size, max_length=6, n_context=2,
+                          data=data_cfg, dtype="float32",
+                          engine_policy="auto",
+                          policy_chunked_min_occupancy=threshold),
+            t5, params, tok)
+
+    with pytest.raises(ValueError, match="can never be reached"):
+        make(8, 32)
+
+    svc = make(12, None)          # default: max(12//2, 5) = 6
+    assert svc._policy_threshold == 6
+    assert svc._generate_chunked is not None
+
+    # batch_size below the measured chunked-win floor: default threshold is
+    # out of reach; accepted with a warning (full-length IS the measured
+    # choice), not an error
+    svc_small = make(4, None)
+    assert svc_small._policy_threshold == 5
