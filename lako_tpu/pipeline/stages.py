@@ -333,6 +333,26 @@ def embed_facts_stage(
     return {"n_facts": len(ids), "dim": emb.shape[1], "index_path": out_path}
 
 
+def _sampled_file_digest(path: Path, sample_bytes: int = 4 << 20) -> str:
+    """Content fingerprint from the first+last ``sample_bytes`` of a file.
+
+    mtime is useless here both ways: a same-size rewrite inside one mtime
+    tick (coarse filesystems) must invalidate, and a byte-identical copy
+    (rsync/tar of an index dir) must NOT force a 300k-vector PQ retrain.
+    Sampling keeps the cost O(MB) on the ~300 MB corpus; embeddings that
+    changed at all differ essentially everywhere, so head+tail suffices."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    size = path.stat().st_size
+    with path.open("rb") as f:
+        h.update(f.read(sample_bytes))
+        if size > sample_bytes:
+            f.seek(max(sample_bytes, size - sample_bytes))
+            h.update(f.read(sample_bytes))
+    return h.hexdigest()
+
+
 def _load_or_train_pq(index_path: str, n_subquantizers: int = 32,
                       n_bits: int = 8):
     """PQ view of a dense index dir: codes live in ``<index_path>/pq`` and are
@@ -346,13 +366,27 @@ def _load_or_train_pq(index_path: str, n_subquantizers: int = 32,
     from lako_tpu.retrieval.pq import PQIndex
 
     emb_path = Path(index_path) / "embeddings.npy"
-    st = emb_path.stat()
-    fingerprint = {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
-                   "n_subquantizers": n_subquantizers, "n_bits": n_bits}
     pq_dir = Path(index_path) / "pq"
     src_meta = pq_dir / "source.json"
-    if (pq_dir / "meta.json").exists():
-        if src_meta.exists() and json.loads(src_meta.read_text()) == fingerprint:
+    have_cache = (pq_dir / "meta.json").exists()
+    if not emb_path.exists():
+        # PQ-only index dir (the dense corpus deleted to keep the 31x
+        # memory win, or shipped without it): the cache is the only
+        # possible source — serve it, staleness unverifiable
+        if have_cache:
+            return PQIndex.load(str(pq_dir))
+        raise FileNotFoundError(
+            f"{emb_path} is missing and {pq_dir} holds no trained codes; "
+            "run embed-facts first")
+    fingerprint = {"size": emb_path.stat().st_size,
+                   "content": _sampled_file_digest(emb_path),
+                   "n_subquantizers": n_subquantizers, "n_bits": n_bits}
+    if have_cache:
+        try:
+            cached = json.loads(src_meta.read_text())
+        except (OSError, json.JSONDecodeError):
+            cached = None  # missing/torn fingerprint == stale, not fatal
+        if cached == fingerprint:
             return PQIndex.load(str(pq_dir))
         get_logger().info(
             "PQ cache at %s is stale (embeddings.npy changed since codes "

@@ -141,6 +141,14 @@ class LakoService:
             max(cfg.batch_size // 2, 5)
             if cfg.policy_chunked_min_occupancy is None
             else cfg.policy_chunked_min_occupancy)
+        if cfg.engine_policy == "auto" and self._policy_threshold < 1:
+            # the mirror failure of an unreachable threshold: <= 0 makes
+            # every batch (occupancy 1 included) run chunked — the
+            # measured-loss regime the policy exists to avoid
+            raise ValueError(
+                f"policy_chunked_min_occupancy={self._policy_threshold} "
+                "must be >= 1; engine_policy='auto' would silently run "
+                "chunked decode on every batch")
         if cfg.engine_policy == "auto" and self._policy_threshold > cfg.batch_size:
             if cfg.policy_chunked_min_occupancy is not None:
                 raise ValueError(

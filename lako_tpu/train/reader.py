@@ -192,6 +192,22 @@ def _apply_param_dtype(cfg, params, logger):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
 
+def _cast_opt_like(template_opt, restored_opt):
+    """Cast restored optimizer-state float leaves to the policy template's
+    dtypes. flax from_bytes restores the CHECKPOINT's dtypes regardless of
+    the template, so without this a bf16-policy resume of an f32 checkpoint
+    keeps f32 moments forever (optax's b1*mu + (1-b1)*g promotes), and the
+    reverse direction runs with bf16 moments under the f32 policy."""
+    def cast(t, v):
+        if (hasattr(v, "dtype") and hasattr(t, "dtype")
+                and jnp.issubdtype(v.dtype, jnp.floating)
+                and v.dtype != t.dtype):
+            return jnp.asarray(v, t.dtype)
+        return v
+
+    return jax.tree_util.tree_map(cast, template_opt, restored_opt)
+
+
 @dataclass
 class ReaderTrainResult:
     best_dev_em: float
@@ -285,6 +301,9 @@ def train_reader(
             if not reset_params and opt_state is not None:
                 step = int(meta.get("step", 0))
                 best_dev_em = float(meta.get("best_eval_metric", 0.0))
+                # restored moments carry the checkpoint's dtype — re-apply
+                # the param_dtype policy (the fresh state is the template)
+                opt_state = _cast_opt_like(state.opt_state, opt_state)
                 state = state.replace(
                     opt_state=jax.tree_util.tree_map(
                         lambda x: put_global(x, replicated(mesh)),
@@ -317,6 +336,10 @@ def train_reader(
             # loaded weights then replace the fresh pp
             params, pp_opt, meta = load_checkpoint(resume_from, init_params,
                                                    state.opt_state)
+            # same policy re-application as the non-PP resume path: the
+            # restored canonical tree carries the CHECKPOINT's dtype, and
+            # pp_params_from_fid/place_pp_params deliberately never cast
+            params = _apply_param_dtype(cfg, params, logger)
             pp = place_pp_params(
                 mesh, pp_params_from_fid(params, t5_cfg, cfg.mesh.pipe),
                 pipe_axis=cfg.mesh.pipe_axis)
@@ -333,6 +356,7 @@ def train_reader(
                         return replicated(mesh)
                     return t.sharding
 
+                pp_opt = _cast_opt_like(state.opt_state, pp_opt)
                 pp_opt = jax.tree_util.tree_map(
                     lambda t, v: jax.device_put(v, _placement(t)),
                     state.opt_state, pp_opt)

@@ -214,7 +214,8 @@ def main():
     # so the occupancy-based greedy/chunked choice is exercised under load
     if args.knee:
         svc_a = build_service(engine_policy="auto",
-                              policy_chunked_min_occupancy=args.batch // 2,
+                              policy_chunked_min_occupancy=max(
+                                  1, args.batch // 2),
                               decode_chunk_size=8)
         warm(svc_a)
         batcher_a = MicroBatcher(svc_a, args.batch, args.window_ms / 1e3)

@@ -413,3 +413,43 @@ def test_pq_cache_invalidated_when_embeddings_change(tmp_path):
     # changed quantizer geometry alone must also retrain
     pq3 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=5)
     assert pq3.k == 32
+
+
+def test_pq_cache_robustness(tmp_path):
+    """Follow-up hardening: a PQ-only dir (embeddings deleted for the memory
+    win) must serve the cache; a byte-identical rewrite must NOT retrain; a
+    torn source.json degrades to a retrain instead of crashing."""
+    import numpy as np
+
+    from lako_tpu.pipeline.stages import _load_or_train_pq
+    from lako_tpu.retrieval.index import DenseIndex
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(64, 8)).astype(np.float32)
+    DenseIndex(emb).save(str(tmp_path))
+    pq1 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)
+
+    # byte-identical rewrite (copy semantics): content hash matches -> reuse
+    data = (tmp_path / "embeddings.npy").read_bytes()
+    (tmp_path / "embeddings.npy").write_bytes(data)
+    pq2 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)
+    np.testing.assert_array_equal(pq1.codes, pq2.codes)
+
+    # torn fingerprint: retrain, not crash
+    (tmp_path / "pq" / "source.json").write_text('{"size": 12')
+    pq3 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)
+    assert pq3.n == 64
+
+    # PQ-only dir: the 31x selling point — cache must still be served
+    (tmp_path / "embeddings.npy").unlink()
+    pq4 = _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)
+    assert pq4.n == 64
+
+    # nothing at all: a clear error, not a stat() traceback
+    import shutil
+
+    shutil.rmtree(tmp_path / "pq")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="run embed-facts first"):
+        _load_or_train_pq(str(tmp_path), n_subquantizers=2, n_bits=4)

@@ -193,3 +193,27 @@ def test_param_dtype_float32_upcasts_restored_bf16():
     cfg = ReaderTrainConfig(param_dtype="bfloat16")
     back = _apply_param_dtype(cfg, out, __import__("logging").getLogger())
     assert back["w"].dtype == jnp.bfloat16
+
+
+def test_cast_opt_like_reapplies_moment_dtype():
+    """Restored optimizer moments carry the checkpoint's dtype; resume must
+    re-cast them to the policy template's dtype in both directions (count
+    and other non-float leaves untouched)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lako_tpu.train.reader import _cast_opt_like
+
+    params = {"w": jnp.ones((4, 4), jnp.bfloat16)}
+    template = optax.adamw(1e-3).init(params)          # bf16 moments
+    restored = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, template)
+    out = _cast_opt_like(template, restored)
+    dts = {str(l.dtype) for l in jax.tree_util.tree_leaves(out)
+           if jnp.issubdtype(l.dtype, jnp.floating)}
+    assert dts == {"bfloat16"}, dts
+    counts = [l for l in jax.tree_util.tree_leaves(out)
+              if not jnp.issubdtype(l.dtype, jnp.floating)]
+    assert all(l.dtype == jnp.int32 for l in counts)

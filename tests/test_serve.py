@@ -351,3 +351,26 @@ def test_engine_policy_threshold_validation():
     # choice), not an error
     svc_small = make(4, None)
     assert svc_small._policy_threshold == 5
+
+
+def test_engine_policy_threshold_zero_rejected():
+    """threshold <= 0 would run chunked decode on EVERY batch (the measured
+    -loss regime) — the mirror of the unreachable-threshold bug."""
+    tok = make_tokenizer()
+    t5 = T5Config(vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64,
+                  num_layers=1, num_decoder_layers=1, num_heads=2,
+                  relative_attention_num_buckets=8, dropout_rate=0.0)
+    data_cfg = ReaderDataConfig(n_context=2, text_maxlength=16,
+                                answer_maxlength=4, stream=2)
+    model = FiDT5(t5)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 16), jnp.int32),
+                        jnp.ones((1, 2, 16), bool),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    with pytest.raises(ValueError, match="must be >= 1"):
+        LakoService(
+            ServiceConfig(batch_size=4, max_length=6, n_context=2,
+                          data=data_cfg, dtype="float32",
+                          engine_policy="auto",
+                          policy_chunked_min_occupancy=0),
+            t5, params, tok)
